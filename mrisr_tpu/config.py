@@ -1,0 +1,218 @@
+"""Typed configuration system with per-model presets.
+
+The reference had only ad-hoc module constants and in-notebook CONFIG dicts
+(`/root/reference/notebooks/FastDDPM_Training_Fixed.ipynb:cell3`,
+`results/*_history.json: config`).  Here every run is described by a
+:class:`Config` dataclass; configs are serialized into history JSON for parity
+with the reference's artifact contract (SURVEY.md §5).
+
+The six presets reproduce the six trained configurations recovered from
+``results/*_history.json`` and the notebooks (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _asdict(obj) -> dict:
+    return dataclasses.asdict(obj)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration.
+
+    Mirrors the knobs of the reference's ``build_dataloader``
+    (`/root/reference/src/ModelDataGenerator.py:217-284`).
+    """
+
+    root: str = "data/packed"            # packed volume store (see data/volumes.py)
+    batch_size: int = 4
+    augment: bool = False
+    # None -> both spacings; 2 -> (i, i+2) -> i+1 (3mm); 4 -> (i, i+4) -> i+2 (6mm)
+    distance_filter: Optional[int] = None
+    image_size: Tuple[int, int] = (256, 256)
+    # patient-level split fractions; seeds match the reference's
+    # train_test_split(test_size=0.3, random_state=42) then (0.6, 42)
+    split_seed: int = 42
+    test_val_fraction: float = 0.3
+    test_within_fraction: float = 0.6
+    cache_volumes: bool = True
+    prefetch: int = 2
+    # augmentation menu: reference used hflip/vflip (ModelDataGenerator.py:97-115),
+    # rot90 for the progressive pipeline (ModelDataGenerator_ProgressiveUNet.py:200-215),
+    # and a lost ±5° rotation variant (README.md:60)
+    hflip: bool = True
+    vflip: bool = True
+    rot90: bool = False
+    rotate_degrees: float = 0.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture selection + hyperparameters."""
+
+    name: str = "unet"                   # registry key (models/registry.py)
+    in_channels: int = 2
+    out_channels: int = 1
+    base_features: int = 64
+    num_blocks: Tuple[int, ...] = (2, 2, 2, 2)   # DeepCNN only
+    # diffusion-only knobs
+    time_dim: int = 128
+    num_timesteps: int = 1000
+    num_inference_steps: int = 10
+    beta_schedule: str = "linear"        # 'linear' | 'cosine'
+    timestep_selection: str = "nonuniform-4060"  # see models/diffusion.py
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss composition.
+
+    Combined loss = MSE + lambda_perceptual * VGG + lambda_ssim * (1 - SSIM)
+    (reference README.md:82-85); GAN weights from
+    ``results/unet_gan_history.json: config.loss_weights``.
+    """
+
+    kind: str = "mse"                    # 'mse' | 'combined' | 'gan' | 'progressive' | 'diffusion'
+    lambda_l1: float = 1.0
+    lambda_perceptual: float = 0.1
+    lambda_ssim: float = 0.1
+    lambda_adversarial: float = 0.01
+    # Progressive multi-output weights (results/progressive_unet_history.json)
+    w_i1: float = 0.5
+    w_i2: float = 1.0
+    w_i3: float = 0.5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 50
+    learning_rate: float = 1e-4
+    learning_rate_d: float = 2e-4        # GAN discriminator
+    optimizer: str = "adam"              # 'adam' | 'adamw'
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0          # 1.0 for diffusion (Fixed:cell11)
+    lr_schedule: str = "constant"        # 'constant' | 'cosine'
+    early_stopping_patience: int = 15
+    seed: int = 0
+    checkpoint_dir: str = "models"
+    results_dir: str = "results"
+    save_every_epoch: bool = True        # resumable per-epoch ckpt (Fixed:cell9)
+    # precision policy: params fp32; compute dtype for conv/matmul
+    compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
+    donate_batch: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for data / (optional) model parallelism (SURVEY.md §2.5)."""
+
+    data: int = -1                       # -1 -> all remaining devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    preset: str = "unet"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        return Config(
+            preset=d.get("preset", "custom"),
+            data=DataConfig(**d.get("data", {})),
+            model=ModelConfig(**d.get("model", {})),
+            loss=LossConfig(**d.get("loss", {})),
+            train=TrainConfig(**d.get("train", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+        )
+
+
+def _preset(name: str, **kw) -> Config:
+    return Config(preset=name, **kw)
+
+
+# The six trained configurations of the reference (SURVEY.md §6 / BASELINE.md).
+PRESETS = {
+    # DeepCNN: Adam 1e-4, batch 4, no augmentation, early stop patience 5
+    # (results/deepcnn_history.json: config)
+    "deepcnn": _preset(
+        "deepcnn",
+        data=DataConfig(batch_size=4, augment=False),
+        model=ModelConfig(name="deepcnn", num_blocks=(2, 2, 2, 2)),
+        loss=LossConfig(kind="mse"),
+        train=TrainConfig(learning_rate=1e-4, early_stopping_patience=5),
+    ),
+    # UNet(MSE): Adam 1e-4, batch 4, augmentation on, 15 epochs best
+    # (src/unet_model.py:148-298, results/training_history.json)
+    "unet": _preset(
+        "unet",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(name="unet"),
+        loss=LossConfig(kind="mse"),
+        train=TrainConfig(learning_rate=1e-4, early_stopping_patience=10),
+    ),
+    # UNet combined: MSE + VGG-perceptual + SSIM (README.md:82-85; the lost
+    # UNet_Training.ipynb's weights follow the GAN house style)
+    "unet_combined": _preset(
+        "unet_combined",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(name="unet"),
+        loss=LossConfig(kind="combined", lambda_perceptual=0.1, lambda_ssim=0.1),
+        train=TrainConfig(learning_rate=1e-4, early_stopping_patience=10),
+    ),
+    # UNet-GAN: LSGAN + PatchGAN, lr_G = lr_D = 2e-4, λ = 1.0/0.1/0.01,
+    # batch 4, 20 epochs, augment on (results/unet_gan_history.json: config)
+    "unet_gan": _preset(
+        "unet_gan",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(name="unet_gan"),
+        loss=LossConfig(
+            kind="gan", lambda_l1=1.0, lambda_perceptual=0.1, lambda_adversarial=0.01
+        ),
+        train=TrainConfig(
+            learning_rate=2e-4, learning_rate_d=2e-4, epochs=20,
+            early_stopping_patience=5,
+        ),
+    ),
+    # Progressive 3-stage UNet: lr 5e-4, weighted MSE 0.5/1.0/0.5, 27 epochs
+    # (results/progressive_unet_history.json: config)
+    "progressive_unet": _preset(
+        "progressive_unet",
+        data=DataConfig(batch_size=4, augment=True, rot90=True),
+        model=ModelConfig(name="progressive_unet"),
+        loss=LossConfig(kind="progressive", w_i1=0.5, w_i2=1.0, w_i3=0.5),
+        train=TrainConfig(learning_rate=5e-4, epochs=27),
+    ),
+    # Fast-DDPM "Fixed" lineage: AdamW 2e-5, grad clip 1.0, 40 epochs,
+    # linear β, non-uniform 10-step selection, batch 4, augment on
+    # (notebooks/FastDDPM_Training_Fixed.ipynb:cell3,cell9,cell11)
+    "fastddpm": _preset(
+        "fastddpm",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(
+            name="fastddpm", in_channels=3, base_features=64, time_dim=128,
+            num_timesteps=1000, num_inference_steps=10,
+            beta_schedule="linear", timestep_selection="nonuniform-4060",
+        ),
+        loss=LossConfig(kind="diffusion"),
+        train=TrainConfig(
+            learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0, epochs=40,
+        ),
+    ),
+}

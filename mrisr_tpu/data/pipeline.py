@@ -1,0 +1,299 @@
+"""Host -> HBM feeding pipeline.
+
+TPU-first redesign of the reference's DataLoader stack (SURVEY.md §3.1):
+
+- Per-slice z-score + resize happen ONCE per volume at bank-build time
+  (the reference recomputed *every* triplet of a volume per __getitem__,
+  `/root/reference/src/ModelDataGenerator.py:179-208`).
+- A split's normalized slices live flat in a :class:`SliceBank` — host RAM
+  (memmap-backed), or HBM for device-resident gathers.
+- A batch is a pure integer gather + device put; paired augmentation is a
+  jitted function of (key, batch) fused into the step (ops/augment.py).
+- Batches are NHWC ``(B, H, W, C)`` with C = [pre, post, target] (triplets)
+  or the 5-slice window — channels ride the TPU lane dimension.
+
+The loaders mirror ``build_dataloader`` / ``build_progressive_dataloader``
+(`/root/reference/src/ModelDataGenerator.py:217-284`,
+`ModelDataGenerator_ProgressiveUNet.py:218-279`): same patient-level split,
+same shuffle-on-train, same distance filtering, same drop_last behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.config import DataConfig
+from mrisr_tpu.data.split import split_for
+from mrisr_tpu.data.triplets import TripletIndex, WindowIndex
+from mrisr_tpu.data.volumes import VolumeStore
+from mrisr_tpu.ops.augment import paired_augment
+from mrisr_tpu.ops.resize import resize_bilinear
+from mrisr_tpu.ops.stats import zscore_slices
+
+
+def preprocess_volume(vol: np.ndarray, image_size: Tuple[int, int]) -> np.ndarray:
+    """Z-score each slice at native resolution, then bilinear-resize.
+
+    Order matches the reference exactly: normalize first
+    (`ModelDataGenerator.py:73-75`), resize second (`:204-208`).
+    """
+    x = jnp.asarray(vol, jnp.float32)
+    x = zscore_slices(x)
+    x = resize_bilinear(x, image_size)
+    return np.asarray(x)
+
+
+class SliceBank:
+    """All normalized slices of a set of series, flat ``(S, H, W)``.
+
+    backend='host'  — numpy array in RAM (default; analog of the reference's
+                      RAM volume cache, `ModelDataGenerator.py:164-174`).
+    backend='device' — jnp array resident in HBM; gathers happen on-device
+                      (dtype bf16 by default to halve HBM footprint).
+    """
+
+    def __init__(
+        self,
+        store: VolumeStore,
+        series_idx: Sequence[int],
+        image_size: Tuple[int, int] = (256, 256),
+        backend: str = "host",
+        device_dtype=jnp.bfloat16,
+    ):
+        self.series_idx = list(series_idx)
+        self.image_size = image_size
+        self.backend = backend
+        self.counts = store.slice_counts(self.series_idx)
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.counts)]
+        ).astype(np.int64)
+        h, w = image_size
+        total = int(self.offsets[-1])
+        flat = np.empty((total, h, w), dtype=np.float32)
+        for j, sidx in enumerate(self.series_idx):
+            vol = store.load_series(sidx, mmap=True)
+            flat[self.offsets[j] : self.offsets[j + 1]] = preprocess_volume(
+                np.asarray(vol), image_size
+            )
+        if backend == "device":
+            self.flat = jax.device_put(jnp.asarray(flat, device_dtype))
+        else:
+            self.flat = flat
+
+    @property
+    def num_slices(self) -> int:
+        return int(self.offsets[-1])
+
+    def flat_ids(self, series_local: np.ndarray, slice_ids: np.ndarray) -> np.ndarray:
+        """series-local index (position within this bank) + slice -> flat id."""
+        return self.offsets[series_local] + slice_ids
+
+    def gather(self, flat_ids: np.ndarray):
+        """Gather ``(..., H, W)`` stack of normalized slices."""
+        if self.backend == "device":
+            return jnp.take(self.flat, jnp.asarray(flat_ids), axis=0)
+        return self.flat[flat_ids]
+
+
+@dataclass
+class _AugmentSpec:
+    enabled: bool = False
+    hflip: bool = True
+    vflip: bool = True
+    rot90: bool = False
+    rotate_degrees: float = 0.0
+
+
+class _BaseLoader:
+    """Shared epoch iteration: shuffle, batch, pad/drop, augment, device put."""
+
+    def __init__(
+        self,
+        bank: SliceBank,
+        plan_flat: np.ndarray,  # (N, C) flat slice ids per sample
+        batch_size: int,
+        shuffle: bool,
+        seed: int,
+        drop_last: bool,
+        augment: _AugmentSpec,
+        sharding=None,
+    ):
+        self.bank = bank
+        self.plan_flat = plan_flat
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.augment = augment
+        self.sharding = sharding
+        self._np_rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = self.plan_flat.shape[0]
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return int(self.plan_flat.shape[0])
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        n, c = self.plan_flat.shape
+        order = np.arange(n)
+        if self.shuffle:
+            self._np_rng.shuffle(order)
+        self._epoch += 1
+        epoch_key = jax.random.fold_in(self._key, self._epoch)
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            if idx.shape[0] < bs and not self.drop_last:
+                # wrap-pad to keep shapes static under jit; callers that need
+                # exact-sample eval should use num_samples to mask the tail.
+                pad = order[: bs - idx.shape[0]]
+                idx = np.concatenate([idx, pad])
+            rows = self.plan_flat[idx]  # (B, C)
+            stack = self.bank.gather(rows.reshape(-1)).reshape(
+                bs, c, *self.bank.image_size
+            )
+            batch = jnp.moveaxis(jnp.asarray(stack, jnp.float32), 1, -1)  # NHWC
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            if self.augment.enabled:
+                bkey = jax.random.fold_in(epoch_key, b)
+                batch = paired_augment(
+                    bkey,
+                    batch,
+                    hflip=self.augment.hflip,
+                    vflip=self.augment.vflip,
+                    rot90=self.augment.rot90,
+                    rotate_degrees=self.augment.rotate_degrees,
+                )
+            yield batch
+
+
+class TripletLoader(_BaseLoader):
+    """Yields (B, H, W, 3) batches with channels [pre, post, target].
+
+    Mirrors ``TripletSliceDataset`` + ``build_dataloader`` semantics
+    (`/root/reference/src/ModelDataGenerator.py:118-284`), including the
+    d2/d4 index offset rule and ``distance_filter`` in {None, 2, 4}.
+    """
+
+    def __init__(
+        self,
+        bank: SliceBank,
+        distance_filter: Optional[int],
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_last: bool = False,
+        augment: Optional[_AugmentSpec] = None,
+        sharding=None,
+    ):
+        index = TripletIndex(bank.counts, distance_filter=distance_filter)
+        plan = index.slice_plan()  # (N, 5) [series_local, pre, mid, post, dist]
+        # channel order [pre, post, target(mid)] matches the reference's
+        # ((pre, post), target) item contract (ModelDataGenerator.py:214)
+        flat = np.stack(
+            [
+                bank.flat_ids(plan[:, 0], plan[:, 1]),
+                bank.flat_ids(plan[:, 0], plan[:, 3]),
+                bank.flat_ids(plan[:, 0], plan[:, 2]),
+            ],
+            axis=1,
+        )
+        self.distances = plan[:, 4].copy()
+        super().__init__(
+            bank, flat, batch_size, shuffle, seed, drop_last,
+            augment or _AugmentSpec(), sharding,
+        )
+
+
+class WindowLoader(_BaseLoader):
+    """Yields (B, H, W, 5) windows [i..i+4] for the Progressive UNet.
+
+    Mirrors ``ProgressiveUNetDataset``
+    (`/root/reference/src/ModelDataGenerator_ProgressiveUNet.py:99-215`);
+    ``drop_last`` defaults to True for train as in
+    ``build_progressive_dataloader`` (`:218-279`).
+    """
+
+    def __init__(
+        self,
+        bank: SliceBank,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_last: bool = False,
+        augment: Optional[_AugmentSpec] = None,
+        sharding=None,
+    ):
+        index = WindowIndex(bank.counts)
+        plan = index.slice_plan()  # (N, 6) [series_local, i..i+4]
+        flat = np.stack(
+            [bank.flat_ids(plan[:, 0], plan[:, 1 + j]) for j in range(5)], axis=1
+        )
+        super().__init__(
+            bank, flat, batch_size, shuffle, seed, drop_last,
+            augment or _AugmentSpec(), sharding,
+        )
+
+
+def build_loader(
+    store: VolumeStore,
+    split: str,
+    cfg: DataConfig,
+    kind: str = "triplet",
+    backend: str = "host",
+    sharding=None,
+    seed: int = 0,
+) -> _BaseLoader:
+    """The ``build_dataloader`` analog: split -> bank -> loader."""
+    patients = split_for(
+        store.patient_ids,
+        split,
+        cfg.test_val_fraction,
+        cfg.test_within_fraction,
+        cfg.split_seed,
+    )
+    series_idx = store.series_for_patients(patients)
+    bank = SliceBank(store, series_idx, cfg.image_size, backend=backend)
+    aug = _AugmentSpec(
+        enabled=cfg.augment and split == "train",
+        hflip=cfg.hflip,
+        vflip=cfg.vflip,
+        rot90=cfg.rot90,
+        rotate_degrees=cfg.rotate_degrees,
+    )
+    shuffle = split == "train"
+    if kind == "triplet":
+        return TripletLoader(
+            bank,
+            cfg.distance_filter,
+            cfg.batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            augment=aug,
+            sharding=sharding,
+        )
+    elif kind == "window":
+        return WindowLoader(
+            bank,
+            cfg.batch_size,
+            shuffle=shuffle,
+            seed=seed,
+            drop_last=(split == "train"),
+            augment=aug,
+            sharding=sharding,
+        )
+    raise ValueError(f"unknown loader kind: {kind}")
