@@ -1,0 +1,84 @@
+"""Shared conv blocks.
+
+TPU notes: all convs are NHWC so the channel dim rides the 128-lane axis and
+XLA tiles directly onto the MXU; BatchNorm statistics reduce over (B, H, W)
+of the *global* (sharded) batch — under pjit/GSPMD the cross-chip mean is an
+automatic ``psum`` over the data axis, giving SyncBN semantics for free
+(SURVEY.md §7 "BatchNorm in a pjit world").
+
+Reference blocks: UNetBlock (`/root/reference/src/ModelLoader.py:16-31`,
+conv-BN-ReLU x2 with bias), ProgressiveUNetBlock / GANUNetBlock
+(`:33-63`, same but bias=False).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (flax momentum = 1-0.1)
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class DoubleConv(nn.Module):
+    """(Conv3x3 -> BN -> ReLU) x 2 — the UNet building block.
+
+    ``use_bias=True`` matches UNetBlock (M1); ``False`` matches
+    ProgressiveUNetBlock / GANUNetBlock (M3).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(2):
+            x = nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=self.use_bias,
+                dtype=self.dtype,
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype,
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_2x2(x):
+    """MaxPool2d(kernel_size=2, stride=2)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def max_pool_3x3_s1(x):
+    """MaxPool2d(kernel_size=3, stride=1, padding=1) — DeepCNN stem
+    (`/root/reference/src/ModelLoader.py:326`)."""
+    return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+
+
+class UpConv2x2(nn.Module):
+    """ConvTranspose2d(kernel_size=2, stride=2) — exact upsampling double.
+
+    With kernel == stride the transposed conv is non-overlapping, so flax
+    ``ConvTranspose`` with VALID padding reproduces torch's op bit-for-bit
+    (parity-tested against torch CPU in tests/test_models.py).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features, (2, 2), strides=(2, 2), padding="VALID",
+            dtype=self.dtype,
+        )(x)
+
+
+kaiming_normal_fan_out = nn.initializers.variance_scaling(
+    2.0, "fan_out", "normal"
+)
