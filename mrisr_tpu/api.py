@@ -1,0 +1,170 @@
+"""Public API: the reference's contract, drop-in.
+
+``load_model(name)`` mirrors `/root/reference/src/ModelLoader.py:642-711`
+(checkpoint search in ``models/``, three torch dict layouts via the
+converter) and the returned :class:`LoadedModel` keeps the reference's NCHW
+``(B, 2, H, W) -> (B, 1, H, W)`` call contract.  Internally everything is
+NHWC on TPU; the adapters are free transposes fused by XLA.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.config import ModelConfig
+from mrisr_tpu.models.diffusion import DiffusionSchedule, sample_ancestral
+from mrisr_tpu.models.registry import MODEL_REGISTRY, create_model, init_model
+
+
+def _nchw_to_nhwc(x):
+    return jnp.moveaxis(jnp.asarray(x, jnp.float32), 1, -1)
+
+
+def _nhwc_to_nchw(x):
+    return jnp.moveaxis(x, -1, 1)
+
+
+@dataclass
+class LoadedModel:
+    """An eval-ready model with the reference's NCHW call contract."""
+
+    name: str
+    module: Any
+    variables: dict
+    kind: str  # 'pair' | 'window' | 'diffusion'
+    schedule: Optional[DiffusionSchedule] = None
+
+    def __post_init__(self):
+        if self.kind == "diffusion":
+            if self.schedule is None:
+                self.schedule = DiffusionSchedule.create()
+
+            def _sample(variables, cond_nhwc, key):
+                eps = lambda x_in, t: self.module.apply(  # noqa: E731
+                    variables, x_in, t
+                )
+                return sample_ancestral(
+                    eps, cond_nhwc, key, self.schedule, combine="first"
+                )
+
+            self._jit_sample = jax.jit(_sample)
+        else:
+            self._jit_apply = jax.jit(
+                lambda variables, x: self.module.apply(variables, x, train=False)
+            )
+
+    # ----------------------------------------------------------- NCHW API
+    def __call__(self, x_nchw, key: Optional[jax.Array] = None):
+        """pair: (B, 2, H, W) -> (B, 1, H, W); window: (B, 5, H, W) ->
+        3-tuple of (B, 1, H, W); diffusion: (B, 2, H, W) cond -> sampled
+        (B, 1, H, W)."""
+        x = _nchw_to_nhwc(x_nchw)
+        if self.kind == "diffusion":
+            key = key if key is not None else jax.random.PRNGKey(0)
+            out = self._jit_sample(self.variables, x, key)
+            return _nhwc_to_nchw(out)
+        out = self._jit_apply(self.variables, x)
+        if isinstance(out, tuple):
+            return tuple(_nhwc_to_nchw(o) for o in out)
+        return _nhwc_to_nchw(out)
+
+    def predict_nhwc(self, x):
+        """NHWC fast path used by eval/volume_eval.py."""
+        if self.kind == "diffusion":
+            return self._jit_sample(self.variables, x, jax.random.PRNGKey(0))
+        return self._jit_apply(self.variables, x)
+
+    def sample(self, cond_nchw, key: Optional[jax.Array] = None):
+        assert self.kind == "diffusion"
+        return self(cond_nchw, key)
+
+
+# Reference checkpoint filename map (ModelLoader.py:662-669)
+_TORCH_CKPT_FILES = {
+    "unet": "unet_best.pt",
+    "unet_combined": "unet_combined_best.pt",
+    "deepcnn": "deepcnn_best.pt",
+    "progressive_unet": "progressive_unet_best.pt",
+    "unet_gan": "unet_gan_best.pt",
+    "fastddpm": "fastddpm_best.pt",
+}
+
+
+def load_model(
+    model_name: str,
+    models_dir: str = "models",
+    checkpoint: Optional[str] = None,
+    cfg: Optional[ModelConfig] = None,
+    image_size: Tuple[int, int] = (256, 256),
+) -> LoadedModel:
+    """Load the best checkpoint for ``model_name``.
+
+    Search order: explicit ``checkpoint`` path; Orbax dir
+    ``<models_dir>/<name>_best``; reference torch file
+    ``<models_dir>/<torch name>`` (converted on the fly).  With no
+    checkpoint found, returns a freshly initialized model (useful for tests
+    and cold starts) — the reference instead raised; pass
+    ``checkpoint='required'`` to get that behavior.
+    """
+    name = model_name.lower()
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model: {model_name}. Choose from: {sorted(MODEL_REGISTRY)}"
+        )
+    module, variables, kind = init_model(name, cfg, image_size=image_size)
+
+    require = checkpoint == "required"
+    if require:
+        checkpoint = None
+
+    orbax_path = os.path.join(models_dir, f"{name}_best")
+    torch_path = os.path.join(models_dir, _TORCH_CKPT_FILES.get(name, ""))
+
+    if checkpoint and os.path.exists(checkpoint):
+        variables = _load_any(name, checkpoint, variables)
+    elif os.path.isdir(orbax_path):
+        variables = _load_orbax(orbax_path, variables)
+    elif _TORCH_CKPT_FILES.get(name) and os.path.exists(torch_path):
+        variables = _load_torch(name, torch_path)
+    elif require:
+        raise FileNotFoundError(
+            f"Checkpoint not found for {name} in {models_dir}"
+        )
+    return LoadedModel(name=name, module=module, variables=variables, kind=kind)
+
+
+def _load_orbax(path: str, template_variables: dict) -> dict:
+    from mrisr_tpu.ckpt import restore_checkpoint
+
+    template = {
+        "params": template_variables["params"],
+        "batch_stats": template_variables.get("batch_stats", {}),
+    }
+    # trainer checkpoints hold extra fields; restore leniently
+    restored = restore_checkpoint(path)
+    out = {"params": restored["params"]}
+    bs = restored.get("batch_stats")
+    if bs:
+        out["batch_stats"] = bs
+    return out
+
+
+def _load_torch(name: str, path: str) -> dict:
+    import torch
+
+    from mrisr_tpu.ckpt import convert_torch_checkpoint
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return convert_torch_checkpoint(name, ckpt)
+
+
+def _load_any(name: str, path: str, template_variables: dict) -> dict:
+    if os.path.isdir(path):
+        return _load_orbax(path, template_variables)
+    return _load_torch(name, path)

@@ -1,0 +1,59 @@
+"""Orbax checkpoint IO.
+
+Checkpoint layout: one Orbax directory per checkpoint named
+``<prefix>_best`` / ``<prefix>_latest`` / ``<prefix>_epoch_<N>``, holding the
+full resumable state: params, batch_stats, optimizer state, epoch, history
+series, best_loss (T7 contract; timestamps live in the history JSON).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abspath(p: str) -> str:
+    return os.path.abspath(p)
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Save a pytree (dict of arrays / nested dicts / scalars) to ``path``."""
+    path = _abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree; ``template`` (matching structure with abstract or
+    concrete arrays) enables exact dtype/sharding restoration."""
+    path = _abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        template = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, template
+        )
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+def get_latest_checkpoint(
+    checkpoint_dir: str, prefix: str
+) -> Optional[Tuple[str, int]]:
+    """Find ``<prefix>_epoch_<N>`` with the highest N (T7's
+    ``get_latest_checkpoint``, `Fixed:cell9`).  Returns (path, epoch)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    pat = re.compile(re.escape(prefix) + r"_epoch_(\d+)$")
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        m = pat.match(name)
+        if m:
+            epoch = int(m.group(1))
+            if best is None or epoch > best[1]:
+                best = (os.path.join(checkpoint_dir, name), epoch)
+    return best

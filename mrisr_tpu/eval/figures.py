@@ -1,0 +1,114 @@
+"""Comparison figures (V7 parallel views, V10 triplet grids).
+
+Keeps the reference's artifact contract: sagittal/axial side-by-side
+comparisons with difference maps
+(`/root/reference/src/VolumeVisualization.py:272-402`) and single-triplet
+PRE/POST/GT/prediction grids with per-image min-max normalization + MSE
+annotation (`:737-881`, source of ``results/triplet_seed*.png``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _norm01(img: np.ndarray) -> np.ndarray:
+    lo, hi = img.min(), img.max()
+    return (img - lo) / (hi - lo + 1e-8)
+
+
+def parallel_views_figure(
+    results: Dict[str, Dict],
+    patient_name: str = "",
+    save_path: Optional[str] = None,
+    sagittal_x: int = 128,
+    axial_z: Optional[int] = None,
+):
+    """All-model comparison: rows = [sagittal, axial, |diff|], columns =
+    [original] + models.  ``results[name]`` comes from eval.volume_eval."""
+    plt = _plt()
+    names = list(results)
+    first = results[names[0]]
+    orig = first["volume_original"]
+    z = axial_z if axial_z is not None else orig.shape[0] // 2
+
+    ncols = len(names) + 1
+    fig, axes = plt.subplots(3, ncols, figsize=(4 * ncols, 12))
+    if ncols == 1:
+        axes = axes[:, None]
+
+    def put(ax, img, title):
+        ax.imshow(_norm01(img), cmap="gray")
+        ax.set_title(title, fontsize=10)
+        ax.axis("off")
+
+    put(axes[0, 0], orig[:, :, sagittal_x], "Original (sagittal)")
+    put(axes[1, 0], orig[z], "Original (axial)")
+    axes[2, 0].axis("off")
+
+    for c, name in enumerate(names, start=1):
+        pred = results[name]["volume_predicted"]
+        m = results[name]["metrics"]
+        label = f"{name}\nSSIM {m['ssim_mean']:.4f} PSNR {m['psnr_mean']:.2f}"
+        put(axes[0, c], pred[:, :, sagittal_x], label)
+        put(axes[1, c], pred[z], f"{name} (axial)")
+        diff = np.abs(pred[z] - orig[z])
+        axes[2, c].imshow(diff, cmap="hot")
+        axes[2, c].set_title(f"{name} |diff|", fontsize=10)
+        axes[2, c].axis("off")
+
+    fig.suptitle(f"Volume prediction comparison {patient_name}", fontsize=14)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
+def triplet_grid_figure(
+    pre: np.ndarray,
+    post: np.ndarray,
+    target: np.ndarray,
+    predictions: Dict[str, np.ndarray],
+    save_path: Optional[str] = None,
+):
+    """One triplet: PRE / POST / GT then each model's prediction with MSE
+    annotation; every image min-max normalized independently (V10)."""
+    plt = _plt()
+    items = [("PRE", pre), ("POST", post), ("GROUND TRUTH", target)]
+    for name, img in predictions.items():
+        items.append((name, img))
+    n = len(items)
+    ncols = min(n, 4)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 4 * nrows))
+    axes = np.atleast_2d(axes)
+    for k, (title, img) in enumerate(items):
+        ax = axes[k // ncols, k % ncols]
+        ax.imshow(_norm01(np.asarray(img)), cmap="gray")
+        if title not in ("PRE", "POST", "GROUND TRUTH"):
+            mse = float(np.mean((np.asarray(img) - np.asarray(target)) ** 2))
+            title = f"{title}\nMSE {mse:.4f}"
+        ax.set_title(title, fontsize=10)
+        ax.axis("off")
+    for k in range(n, nrows * ncols):
+        axes[k // ncols, k % ncols].axis("off")
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return save_path

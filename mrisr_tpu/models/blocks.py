@@ -60,23 +60,19 @@ def max_pool_3x3_s1(x):
     return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
-class UpConv2x2(nn.Module):
+def UpConv2x2(features: int, dtype: Any = jnp.float32, name: str | None = None):
     """ConvTranspose2d(kernel_size=2, stride=2) — exact upsampling double.
 
     With kernel == stride the transposed conv is non-overlapping, so flax
     ``ConvTranspose`` with VALID padding reproduces torch's op bit-for-bit
-    (parity-tested against torch CPU in tests/test_models.py).
+    given the spatial-flip weight mapping (tests/test_models.py,
+    ckpt/torch_convert.py).  A plain factory (not a wrapper Module) so the
+    parameter path is ``<name>/kernel`` — converter-friendly.
     """
-
-    features: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.ConvTranspose(
-            self.features, (2, 2), strides=(2, 2), padding="VALID",
-            dtype=self.dtype,
-        )(x)
+    return nn.ConvTranspose(
+        features, (2, 2), strides=(2, 2), padding="VALID", dtype=dtype,
+        name=name,
+    )
 
 
 kaiming_normal_fan_out = nn.initializers.variance_scaling(

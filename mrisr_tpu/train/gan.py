@@ -1,0 +1,127 @@
+"""UNet-GAN trainer: LSGAN + conditional PatchGAN (T3).
+
+Config parity with ``results/unet_gan_history.json``: lr_G = lr_D = 2e-4,
+λ_l1/λ_perc/λ_adv = 1.0/0.1/0.01, batch 4, augmentation on, early stop
+patience 5; logged per-loss train histories g/d/l1/perc/adv and val
+g/d/l1/perc/adv losses, matching the artifact's key layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from mrisr_tpu.config import Config
+from mrisr_tpu.models.registry import init_model
+from mrisr_tpu.train.history import TrainingHistory
+from mrisr_tpu.train.state import create_train_state, make_optimizer
+from mrisr_tpu.train.steps import make_gan_steps
+from mrisr_tpu.train.trainer import _EpochLoopMixin, _mean_metrics
+
+
+class GANTrainer(_EpochLoopMixin):
+    def __init__(
+        self,
+        config: Config,
+        perceptual_fn: Optional[Callable] = None,
+        image_size=(256, 256),
+        mesh=None,
+    ):
+        self.config = config
+        gen, g_vars, _ = init_model(
+            "unet_gan", config.model, image_size=image_size,
+            seed=config.train.seed,
+        )
+        disc, d_vars, _ = init_model(
+            "patchgan", config.model, image_size=image_size,
+            seed=config.train.seed + 1,
+        )
+        self.gen, self.disc = gen, disc
+        self.g_state = create_train_state(
+            gen, g_vars, make_optimizer(config.train)
+        )
+        self.d_state = create_train_state(
+            disc, d_vars,
+            make_optimizer(config.train, learning_rate=config.train.learning_rate_d),
+        )
+        if mesh is not None:
+            from mrisr_tpu.parallel.mesh import replicated
+
+            self.g_state = jax.device_put(self.g_state, replicated(mesh))
+            self.d_state = jax.device_put(self.d_state, replicated(mesh))
+        self.train_step, self.eval_step = make_gan_steps(
+            perceptual_fn=perceptual_fn,
+            lambda_l1=config.loss.lambda_l1,
+            lambda_perceptual=config.loss.lambda_perceptual,
+            lambda_adversarial=config.loss.lambda_adversarial,
+            donate=config.train.donate_batch,
+        )
+        self.history = TrainingHistory(json.loads(config.to_json()))
+
+    def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
+        acc: Dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            if train:
+                self.g_state, self.d_state, metrics = self.train_step(
+                    self.g_state, self.d_state, batch
+                )
+            else:
+                metrics = self.eval_step(self.g_state, self.d_state, batch)
+            for k, v in metrics.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        out = _mean_metrics(acc, n)
+        # epoch-loop contract: expose a scalar 'loss' (G objective) for
+        # early stopping, mirroring the reference's val g_loss criterion
+        out["loss"] = out.get("g", out.get("g_loss", 0.0))
+        return out
+
+    def predict(self, inputs: jax.Array):
+        variables = {"params": self.g_state.params}
+        if self.g_state.batch_stats is not None:
+            variables["batch_stats"] = self.g_state.batch_stats
+        return self.gen.apply(variables, inputs, train=False)
+
+    def _state_dict(self, epoch: int, best_loss: float) -> dict:
+        return {
+            "generator": {
+                "params": self.g_state.params,
+                "batch_stats": self.g_state.batch_stats or {},
+                "opt_state": self.g_state.opt_state,
+            },
+            "discriminator": {
+                "params": self.d_state.params,
+                "batch_stats": self.d_state.batch_stats or {},
+                "opt_state": self.d_state.opt_state,
+            },
+            "epoch": np.asarray(epoch),
+            "best_loss": np.asarray(best_loss, np.float64),
+        }
+
+    def save(self, path: str, epoch: int, best_loss: float) -> None:
+        from mrisr_tpu.ckpt import save_checkpoint
+
+        save_checkpoint(path, self._state_dict(epoch, best_loss))
+
+    def load(self, path: str) -> None:
+        from mrisr_tpu.ckpt import restore_checkpoint
+
+        template = self._state_dict(0, 0.0)
+        r = restore_checkpoint(path, template)
+        self.g_state = self.g_state.replace(
+            params=r["generator"]["params"],
+            batch_stats=r["generator"]["batch_stats"] or None,
+            opt_state=r["generator"]["opt_state"],
+        )
+        self.d_state = self.d_state.replace(
+            params=r["discriminator"]["params"],
+            batch_stats=r["discriminator"]["batch_stats"] or None,
+            opt_state=r["discriminator"]["opt_state"],
+        )
+        self.best_loss = float(r["best_loss"])
+        self.start_epoch = int(r["epoch"]) + 1

@@ -1,0 +1,205 @@
+"""Trainers: epoch loops with early stopping + checkpoint + history.
+
+``SupervisedTrainer`` reproduces UNetTrainer's contract (T1,
+`/root/reference/src/unet_model.py:148-298`): per-epoch train/val MSE,
+early stopping with a patience counter, ``<name>_best`` / ``<name>_latest``
+checkpoints, history JSON + loss-curve PNG.  It also covers the combined
+loss (T2) and the progressive weighted loss (T4) through the loss config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.config import Config
+from mrisr_tpu.losses import combined_loss, mse, progressive_loss
+from mrisr_tpu.models.registry import init_model
+from mrisr_tpu.train.history import TrainingHistory
+from mrisr_tpu.train.state import TrainState, create_train_state, make_optimizer
+from mrisr_tpu.train.steps import make_progressive_steps, make_supervised_steps
+
+
+def _mean_metrics(acc: Dict[str, float], n: int) -> Dict[str, float]:
+    return {k: v / max(n, 1) for k, v in acc.items()}
+
+
+class _EpochLoopMixin:
+    """Shared epoch loop: early stopping, best/latest ckpt, history."""
+
+    config: Config
+    history: TrainingHistory
+
+    def _ckpt_path(self, suffix: str) -> str:
+        d = self.config.train.checkpoint_dir
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{self.config.preset}_{suffix}")
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        epochs: Optional[int] = None,
+        verbose: bool = True,
+    ) -> TrainingHistory:
+        epochs = epochs or self.config.train.epochs
+        patience = self.config.train.early_stopping_patience
+        best_loss = getattr(self, "best_loss", float("inf"))
+        patience_counter = 0
+        start_epoch = getattr(self, "start_epoch", 1)
+
+        for epoch in range(start_epoch, epochs + 1):
+            train_metrics = self.run_epoch(train_loader, train=True, epoch=epoch)
+            if val_loader is not None:
+                val_metrics = self.run_epoch(val_loader, train=False, epoch=epoch)
+            else:
+                val_metrics = train_metrics
+            self.history.append(
+                epoch=epoch,
+                train_loss=train_metrics["loss"],
+                val_loss=val_metrics["loss"],
+            )
+            for k, v in train_metrics.items():
+                if k != "loss":
+                    self.history.append(**{f"train_{k}": v})
+            if verbose:
+                print(
+                    f"Epoch {epoch}/{epochs} | train {train_metrics['loss']:.4f}"
+                    f" | val {val_metrics['loss']:.4f}",
+                    end="",
+                )
+            improved = val_metrics["loss"] < best_loss
+            if improved:
+                best_loss = val_metrics["loss"]
+                patience_counter = 0
+                self.save(self._ckpt_path("best"), epoch, best_loss)
+                if verbose:
+                    print("  (best)")
+            else:
+                patience_counter += 1
+                if verbose:
+                    print(f"  (patience {patience_counter}/{patience})")
+            self.save(self._ckpt_path("latest"), epoch, best_loss)
+            if self.config.train.save_every_epoch:
+                self.save(self._ckpt_path(f"epoch_{epoch}"), epoch, best_loss)
+            if patience and patience_counter >= patience:
+                if verbose:
+                    print(f"Early stopping after {epoch} epochs")
+                break
+
+        self.best_loss = best_loss
+        self.history.set(best_val_loss=best_loss)
+        rd = self.config.train.results_dir
+        os.makedirs(rd, exist_ok=True)
+        self.history.save_json(
+            os.path.join(rd, f"{self.config.preset}_history.json")
+        )
+        self.history.save_curves_png(
+            os.path.join(rd, f"{self.config.preset}_training_curves.png"),
+            title=f"{self.config.preset} training",
+        )
+        return self.history
+
+
+class SupervisedTrainer(_EpochLoopMixin):
+    """MSE / combined / progressive training for the deterministic models."""
+
+    def __init__(
+        self,
+        config: Config,
+        perceptual_fn: Optional[Callable] = None,
+        image_size=(256, 256),
+        mesh=None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        name = config.model.name
+        self.model, variables, self.kind = init_model(
+            name, config.model, image_size=image_size, seed=config.train.seed
+        )
+        tx = make_optimizer(config.train)
+        self.state = create_train_state(self.model, variables, tx)
+        if mesh is not None:
+            from mrisr_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+
+        loss_kind = config.loss.kind
+        if self.kind == "window":
+            loss_fn = lambda preds, window: progressive_loss(  # noqa: E731
+                preds, window,
+                config.loss.w_i1, config.loss.w_i2, config.loss.w_i3,
+            )
+            self.train_step, self.eval_step = make_progressive_steps(
+                loss_fn, donate=config.train.donate_batch
+            )
+        else:
+            if loss_kind == "combined":
+                loss_fn = lambda pred, target: combined_loss(  # noqa: E731
+                    pred, target,
+                    perceptual_fn=perceptual_fn,
+                    lambda_perceptual=config.loss.lambda_perceptual,
+                    lambda_ssim=config.loss.lambda_ssim,
+                )
+            else:  # plain MSE (T1)
+                loss_fn = lambda pred, target: (mse(pred, target), {})  # noqa: E731
+            self.train_step, self.eval_step = make_supervised_steps(
+                loss_fn, donate=config.train.donate_batch
+            )
+        self.history = TrainingHistory(json.loads(config.to_json()))
+
+    def run_epoch(self, loader, train: bool, epoch: int) -> Dict[str, float]:
+        acc: Dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            if train:
+                self.state, metrics = self.train_step(self.state, batch)
+            else:
+                metrics = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            n += 1
+        return _mean_metrics(acc, n)
+
+    # ------------------------------------------------------------- predict
+    def predict(self, inputs: jax.Array):
+        """inputs: (B, H, W, 2) pair or (B, H, W, 5) window -> prediction(s)."""
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        return self.model.apply(variables, inputs, train=False)
+
+    # ---------------------------------------------------------------- ckpt
+    def _state_dict(self, epoch: int, best_loss: float) -> dict:
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats or {},
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.state.step),
+            "epoch": np.asarray(epoch),
+            "best_loss": np.asarray(best_loss, np.float64),
+        }
+
+    def save(self, path: str, epoch: int, best_loss: float) -> None:
+        from mrisr_tpu.ckpt import save_checkpoint
+
+        save_checkpoint(path, self._state_dict(epoch, best_loss))
+
+    def load(self, path: str) -> None:
+        from mrisr_tpu.ckpt import restore_checkpoint
+
+        template = self._state_dict(0, 0.0)
+        restored = restore_checkpoint(path, template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"] or None,
+            opt_state=restored["opt_state"],
+            step=int(restored["step"]),
+        )
+        self.best_loss = float(restored["best_loss"])
+        self.start_epoch = int(restored["epoch"]) + 1

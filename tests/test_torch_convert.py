@@ -1,0 +1,166 @@
+"""Torch-checkpoint converter tests.
+
+The strong test is end-to-end numeric parity for the UNet: a torch state
+dict (synthesized with the reference's exact parameter names) is run through
+BOTH a functional torch forward and our converter + flax model; outputs must
+match.  This validates conv/convT layout rules, BN eval semantics, and the
+converter's name mapping in one shot.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from mrisr_tpu.ckpt.torch_convert import convert_torch_checkpoint
+from mrisr_tpu.models import UNet
+from mrisr_tpu.models.registry import init_model, param_count
+
+FEAT = 4  # tiny UNet for speed; the name map is feature-count independent
+
+
+def _rand_torch_unet_sd(rng, feat=FEAT, in_ch=2, bias=True):
+    """Random torch state dict with the reference UNet's parameter names
+    (`/root/reference/src/ModelLoader.py:66-145` module structure)."""
+    sd = {}
+
+    def conv(prefix, i, o, k):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.2
+        )
+        if bias:
+            sd[f"{prefix}.bias"] = torch.tensor(
+                rng.standard_normal((o,)).astype(np.float32) * 0.1
+            )
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            (rng.standard_normal(c) * 0.1 + 1).astype(np.float32)
+        )
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.standard_normal(c).astype(np.float32) * 0.1
+        )
+        sd[f"{prefix}.running_mean"] = torch.tensor(
+            rng.standard_normal(c).astype(np.float32) * 0.1
+        )
+        sd[f"{prefix}.running_var"] = torch.tensor(
+            (np.abs(rng.standard_normal(c)) + 0.5).astype(np.float32)
+        )
+
+    def block(name, cin, cout):
+        conv(f"{name}.conv.0", cin, cout, 3)
+        bn(f"{name}.conv.1", cout)
+        conv(f"{name}.conv.3", cout, cout, 3)
+        bn(f"{name}.conv.4", cout)
+
+    f = feat
+    block("enc1", in_ch, f)
+    block("enc2", f, f * 2)
+    block("enc3", f * 2, f * 4)
+    block("enc4", f * 4, f * 8)
+    block("bottleneck", f * 8, f * 16)
+    for lvl, (cin, cout) in zip(
+        (4, 3, 2, 1), ((f * 16, f * 8), (f * 8, f * 4), (f * 4, f * 2), (f * 2, f))
+    ):
+        # ConvTranspose2d weight: (in, out, 2, 2), always has bias
+        sd[f"upconv{lvl}.weight"] = torch.tensor(
+            rng.standard_normal((cin, cout, 2, 2)).astype(np.float32) * 0.2
+        )
+        sd[f"upconv{lvl}.bias"] = torch.tensor(
+            rng.standard_normal((cout,)).astype(np.float32) * 0.1
+        )
+        block(f"dec{lvl}", cout * 2, cout)
+    conv("final_conv", f, 1, 1)
+    if not bias:  # final conv keeps bias even in bias-free blocks
+        sd["final_conv.bias"] = torch.tensor(
+            rng.standard_normal((1,)).astype(np.float32) * 0.1
+        )
+    return sd
+
+
+def _torch_unet_forward(sd, x):
+    """Functional torch forward with the reference UNet's topology."""
+
+    def dc(name, h):
+        for ci, bi in ((0, 1), (3, 4)):
+            h = F.conv2d(
+                h, sd[f"{name}.conv.{ci}.weight"],
+                sd.get(f"{name}.conv.{ci}.bias"), padding=1,
+            )
+            h = F.batch_norm(
+                h, sd[f"{name}.conv.{bi}.running_mean"],
+                sd[f"{name}.conv.{bi}.running_var"],
+                sd[f"{name}.conv.{bi}.weight"], sd[f"{name}.conv.{bi}.bias"],
+                training=False, eps=1e-5,
+            )
+            h = F.relu(h)
+        return h
+
+    skips = {}
+    h = x
+    for name in ("enc1", "enc2", "enc3", "enc4"):
+        skips[name] = dc(name, h)
+        h = F.max_pool2d(skips[name], 2, 2)
+    h = dc("bottleneck", h)
+    for lvl, enc in ((4, "enc4"), (3, "enc3"), (2, "enc2"), (1, "enc1")):
+        h = F.conv_transpose2d(
+            h, sd[f"upconv{lvl}.weight"], sd[f"upconv{lvl}.bias"], stride=2
+        )
+        h = torch.cat([h, skips[enc]], dim=1)
+        h = dc(f"dec{lvl}", h)
+    return F.conv2d(h, sd["final_conv.weight"], sd.get("final_conv.bias"))
+
+
+def test_unet_converter_end_to_end_numeric_parity():
+    rng = np.random.default_rng(0)
+    sd = _rand_torch_unet_sd(rng)
+    x = rng.standard_normal((2, 2, 16, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        want = _torch_unet_forward(sd, torch.from_numpy(x)).numpy()
+
+    variables = convert_torch_checkpoint("unet", sd)
+    model = UNet(features=FEAT, use_bias=True)
+    got = np.asarray(
+        model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_unet_converter_tree_matches_flax_init():
+    """Converted tree must be structurally identical to a flax init."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    sd = _rand_torch_unet_sd(rng, feat=64)
+    variables = convert_torch_checkpoint("unet", sd)
+    _, init_vars, _ = init_model("unet", image_size=(16, 16))
+
+    conv_paths = jax.tree_util.tree_structure(variables["params"])
+    init_paths = jax.tree_util.tree_structure(init_vars["params"])
+    assert conv_paths == init_paths
+    for a, b in zip(
+        jax.tree_util.tree_leaves(variables["params"]),
+        jax.tree_util.tree_leaves(init_vars["params"]),
+    ):
+        assert a.shape == b.shape
+    assert param_count(variables["params"]) == 31_042_945
+
+
+def test_state_dict_layouts_unwrapped():
+    rng = np.random.default_rng(2)
+    sd = _rand_torch_unet_sd(rng)
+    for wrap in (
+        lambda d: d,
+        lambda d: {"model_state_dict": d, "epoch": 3},
+        lambda d: {"generator_state_dict": d},
+    ):
+        variables = convert_torch_checkpoint("unet", wrap(sd))
+        assert "params" in variables and "batch_stats" in variables
