@@ -1,0 +1,329 @@
+"""Command-line interface — the reference had none (notebooks were its CLI,
+SURVEY.md §1); this is the end-to-end surface:
+
+  python -m mrisr_tpu.cli extract  <zip> <out_dir>
+  python -m mrisr_tpu.cli clean    <dataset_root> [--yes]
+  python -m mrisr_tpu.cli pack     <dicom_root> <out_store> [--slices 60]
+  python -m mrisr_tpu.cli synth    <out_store> [--patients 8]
+  python -m mrisr_tpu.cli train    --preset unet --data <store> [...]
+  python -m mrisr_tpu.cli eval     --model unet --data <store> [...]
+  python -m mrisr_tpu.cli predict-volume --model unet --data <store> [...]
+  python -m mrisr_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _add_common_train_args(p):
+    p.add_argument("--data", required=True, help="packed VolumeStore dir")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--distance", type=int, default=None, choices=(2, 4))
+    p.add_argument("--checkpoint-dir", default="models")
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--backend", default="host", choices=("host", "device"))
+
+
+def _build_config(args, preset_name):
+    from mrisr_tpu.config import PRESETS
+
+    cfg = PRESETS[preset_name]
+    data = dataclasses.replace(
+        cfg.data,
+        root=args.data,
+        image_size=(args.image_size, args.image_size),
+        **({"batch_size": args.batch_size} if args.batch_size else {}),
+        **({"distance_filter": args.distance} if args.distance else {}),
+    )
+    train = dataclasses.replace(
+        cfg.train,
+        checkpoint_dir=args.checkpoint_dir,
+        results_dir=args.results_dir,
+        **({"epochs": args.epochs} if args.epochs else {}),
+        **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+    )
+    return dataclasses.replace(cfg, data=data, train=train)
+
+
+def cmd_extract(args):
+    from mrisr_tpu.data.extract import extract_zip
+
+    ok, failed = extract_zip(args.zip, args.out, verbose=True)
+    print(f"extracted {ok} members, {failed} failed")
+
+
+def cmd_clean(args):
+    from mrisr_tpu.data.clean import clean_dataset, scan_dataset
+
+    to_delete, total = scan_dataset(args.root)
+    print(f"total series: {total}; to delete: {len(to_delete)}")
+    for item in to_delete[:5]:
+        print(f"  {item.patient}/{item.study}/{item.series}")
+    if len(to_delete) > 5:
+        print(f"  ... and {len(to_delete) - 5} more")
+    if args.dry_run:
+        print("dry run: nothing deleted")
+        return
+    if not args.yes:
+        answer = input("Proceed with DELETION? (yes/no): ").strip().lower()
+        if answer != "yes":
+            print("cancelled")
+            return
+    removed = clean_dataset(to_delete)
+    print(f"removed {removed} series; kept {total - removed}")
+
+
+def cmd_pack(args):
+    from mrisr_tpu.data.volumes import VolumeStore
+
+    store = VolumeStore.pack_dicom_tree(
+        args.out, args.root, require_slices=args.slices
+    )
+    print(f"packed {len(store)} series -> {args.out}")
+
+
+def cmd_synth(args):
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+
+    store = make_synthetic_store(
+        args.out, num_patients=args.patients,
+        slices_per_volume=args.slices, height=args.size, width=args.size,
+    )
+    print(f"packed {len(store)} synthetic series -> {args.out}")
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+
+    from mrisr_tpu.data.pipeline import build_loader
+    from mrisr_tpu.data.volumes import VolumeStore
+
+    cfg = _build_config(args, args.preset)
+    store = VolumeStore.open(args.data)
+    hw = cfg.data.image_size
+    kind = "window" if cfg.model.name == "progressive_unet" else "triplet"
+    train_loader = build_loader(store, "train", cfg.data, kind=kind,
+                                backend=args.backend)
+    val_loader = build_loader(store, "val", cfg.data, kind=kind,
+                              backend=args.backend)
+
+    if cfg.loss.kind == "gan":
+        from mrisr_tpu.losses.vgg import make_perceptual_fn
+        from mrisr_tpu.train import GANTrainer
+
+        trainer = GANTrainer(cfg, perceptual_fn=make_perceptual_fn(),
+                             image_size=hw)
+    elif cfg.loss.kind == "diffusion":
+        from mrisr_tpu.train import DiffusionTrainer
+
+        trainer = DiffusionTrainer(cfg, image_size=hw)
+        if args.resume:
+            trainer.try_resume()
+    else:
+        perceptual_fn = None
+        if cfg.loss.kind == "combined":
+            from mrisr_tpu.losses.vgg import make_perceptual_fn
+
+            perceptual_fn = make_perceptual_fn()
+        from mrisr_tpu.train import SupervisedTrainer
+
+        trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
+                                    image_size=hw)
+    hist = trainer.fit(train_loader, val_loader)
+    print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
+
+
+def cmd_eval(args):
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.config import ModelConfig, PRESETS
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.runner import evaluate_and_save
+
+    cfg = _build_config(args, args.model if args.model in PRESETS else "unet")
+    store = VolumeStore.open(args.data)
+    hw = cfg.data.image_size
+    model = load_model(args.model, models_dir=args.checkpoint_dir,
+                       image_size=hw)
+    out = os.path.join(args.results_dir, f"{args.model}_test_metrics.json")
+    metrics = evaluate_and_save(
+        model.predict_nhwc, store, cfg.data, out_json=out,
+        mode=args.metric_mode, max_batches=args.max_batches,
+        backend=args.backend,
+    )
+    print(json.dumps(metrics, indent=2))
+
+
+def cmd_predict_volume(args):
+    import numpy as np
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.data.split import split_for
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.figures import parallel_views_figure
+    from mrisr_tpu.eval.volume_eval import (
+        predict_volume,
+        predict_volume_hierarchical,
+        predict_volume_progressive,
+    )
+
+    cfg = _build_config(args, "unet")
+    store = VolumeStore.open(args.data)
+    # V1 semantics: pick a (seeded) random valid test-set volume
+    import random
+
+    test_patients = split_for(store.patient_ids, "test")
+    rng = random.Random(args.seed)
+    candidates = store.series_for_patients(test_patients)
+    rng.shuffle(candidates)
+    if not candidates:
+        print("no test-set series found", file=sys.stderr)
+        sys.exit(1)
+    volume = np.asarray(store.load_series(candidates[0]))
+
+    hw = cfg.data.image_size
+    results = {}
+    for name in args.model:
+        model = load_model(name, models_dir=args.checkpoint_dir, image_size=hw)
+        if model.kind == "window":
+            res = predict_volume_progressive(
+                model.predict_nhwc, volume, image_size=hw
+            )
+        elif args.hierarchical:
+            res = predict_volume_hierarchical(
+                model.predict_nhwc, volume, image_size=hw
+            )
+        else:
+            res = predict_volume(model.predict_nhwc, volume, image_size=hw)
+        results[name] = res
+        m = res["metrics"]
+        print(
+            f"{name}: SSIM {m['ssim_mean']:.4f}±{m['ssim_std']:.3f} "
+            f"PSNR {m['psnr_mean']:.2f}±{m['psnr_std']:.2f} MAE {m['mae']:.4f}"
+        )
+    if args.figure:
+        path = parallel_views_figure(
+            results, f"seed{args.seed}", save_path=args.figure,
+            sagittal_x=hw[1] // 2,
+        )
+        print(f"figure -> {path}")
+
+
+def cmd_triplet_figure(args):
+    """V10 parity: one seeded random mid-volume triplet, all models
+    (`/root/reference/src/VolumeVisualization.py:737-881`)."""
+    import random
+
+    import numpy as np
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.data.split import split_for
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.figures import triplet_grid_figure
+    from mrisr_tpu.eval.volume_eval import normalize_volume
+
+    cfg = _build_config(args, "unet")
+    store = VolumeStore.open(args.data)
+    test_patients = split_for(store.patient_ids, "test")
+    candidates = store.series_for_patients(test_patients)
+    rng = random.Random(args.seed)
+    rng.shuffle(candidates)
+    vol = normalize_volume(np.asarray(store.load_series(candidates[0])))
+    z = vol.shape[0]
+    # mid-volume triplet, seeded (reference picks a random central one)
+    i = rng.randrange(z // 4, 3 * z // 4 - 2)
+    pre, gt, post = vol[i], vol[i + 1], vol[i + 2]
+
+    import jax.numpy as jnp
+
+    hw = cfg.data.image_size
+    preds = {}
+    for name in args.model:
+        model = load_model(name, models_dir=args.checkpoint_dir, image_size=hw)
+        x = jnp.stack([jnp.asarray(pre), jnp.asarray(post)], axis=-1)[None]
+        preds[name] = np.asarray(model.predict_nhwc(x))[0, ..., 0]
+    path = triplet_grid_figure(pre, post, gt, preds, save_path=args.figure)
+    print(f"figure -> {path}")
+
+
+def cmd_bench(args):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
+    from bench import bench_unet_inference
+
+    print(json.dumps(bench_unet_inference(batch_size=args.batch_size)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mrisr")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("extract")
+    q.add_argument("zip")
+    q.add_argument("out")
+    q.set_defaults(fn=cmd_extract)
+
+    q = sub.add_parser("clean")
+    q.add_argument("root")
+    q.add_argument("--yes", action="store_true")
+    q.add_argument("--dry-run", action="store_true")
+    q.set_defaults(fn=cmd_clean)
+
+    q = sub.add_parser("pack")
+    q.add_argument("root")
+    q.add_argument("out")
+    q.add_argument("--slices", type=int, default=60)
+    q.set_defaults(fn=cmd_pack)
+
+    q = sub.add_parser("synth")
+    q.add_argument("out")
+    q.add_argument("--patients", type=int, default=8)
+    q.add_argument("--slices", type=int, default=60)
+    q.add_argument("--size", type=int, default=256)
+    q.set_defaults(fn=cmd_synth)
+
+    q = sub.add_parser("train")
+    q.add_argument("--preset", required=True)
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_train)
+
+    q = sub.add_parser("eval")
+    q.add_argument("--model", required=True)
+    q.add_argument("--metric-mode", default="minmax-each",
+                   choices=("minmax-each", "denorm-11", "raw"))
+    q.add_argument("--max-batches", type=int, default=None)
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_eval)
+
+    q = sub.add_parser("predict-volume")
+    q.add_argument("--model", nargs="+", required=True)
+    q.add_argument("--seed", type=int, default=42)
+    q.add_argument("--hierarchical", action="store_true")
+    q.add_argument("--figure", default=None)
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_predict_volume)
+
+    q = sub.add_parser("triplet-figure")
+    q.add_argument("--model", nargs="+", required=True)
+    q.add_argument("--seed", type=int, default=42)
+    q.add_argument("--figure", default="results/single_triplet.png")
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_triplet_figure)
+
+    q = sub.add_parser("bench")
+    q.add_argument("--batch-size", type=int, default=32)
+    q.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,36 @@ def parallel_views_figure(
     return save_path
 
 
+def volume_views_figure(
+    volume: np.ndarray,
+    save_path: Optional[str] = None,
+    title: str = "MRI slice views",
+):
+    """Axial / sagittal / coronal mid-volume views — the Data Analysis
+    notebook's ``show_views`` geometry check
+    (`/root/reference/notebooks/Data Analysis.ipynb:cell8`, source of
+    ``results/mri_slice_views_before.png``)."""
+    plt = _plt()
+    z, h, w = volume.shape
+    views = [
+        ("axial (z)", volume[z // 2]),
+        ("coronal (y)", volume[:, h // 2, :]),
+        ("sagittal (x)", volume[:, :, w // 2]),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    for ax, (name, img) in zip(axes, views):
+        ax.imshow(_norm01(np.asarray(img)), cmap="gray", aspect="auto")
+        ax.set_title(name)
+        ax.axis("off")
+    fig.suptitle(title)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
 def triplet_grid_figure(
     pre: np.ndarray,
     post: np.ndarray,

@@ -1,0 +1,73 @@
+"""Test-set evaluation runner: the README metric contract.
+
+Computes SSIM/PSNR per spacing — 3 mm (distance-2 triplets) and 6 mm
+(distance-4) SEPARATELY, never aggregated (reference README.md:154-157;
+BASELINE.md targets).  Per-sample normalization follows the notebook eval
+convention (min-max each image, `Fixed:cell21`) by default; 'volume' mode
+runs the V6 original-range volume metrics instead.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrisr_tpu.config import DataConfig
+from mrisr_tpu.data.pipeline import build_loader
+from mrisr_tpu.data.volumes import VolumeStore
+from mrisr_tpu.eval.metrics import per_sample_metrics
+
+
+def evaluate_pair_model_test_set(
+    predict_fn,
+    store: VolumeStore,
+    data_cfg: DataConfig,
+    split: str = "test",
+    mode: str = "minmax-each",
+    max_batches: Optional[int] = None,
+    backend: str = "host",
+) -> Dict[str, Dict[str, float]]:
+    """predict_fn: (B, H, W, 2) -> (B, H, W, 1).  Returns {'3mm': ..., '6mm': ...}."""
+    out: Dict[str, Dict[str, float]] = {}
+    for dist, label in ((2, "3mm"), (4, "6mm")):
+        import dataclasses
+
+        cfg = dataclasses.replace(data_cfg, distance_filter=dist, augment=False)
+        loader = build_loader(store, split, cfg, backend=backend)
+        preds, gts = [], []
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            pred = predict_fn(batch[..., :2])
+            preds.append(np.asarray(pred[..., 0]))
+            gts.append(np.asarray(batch[..., 2]))
+        if not preds:
+            continue
+        # trim wrap-padding on the final batch
+        n = loader.num_samples
+        if max_batches is not None:
+            n = min(n, max_batches * cfg.batch_size)
+        pred_all = np.concatenate(preds)[:n]
+        gt_all = np.concatenate(gts)[:n]
+        out[label] = per_sample_metrics(gt_all, pred_all, mode=mode)
+    return out
+
+
+def evaluate_and_save(
+    predict_fn,
+    store: VolumeStore,
+    data_cfg: DataConfig,
+    out_json: Optional[str] = None,
+    **kwargs,
+) -> Dict:
+    metrics = evaluate_pair_model_test_set(predict_fn, store, data_cfg, **kwargs)
+    if out_json:
+        import os
+
+        os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics

@@ -1,0 +1,4 @@
+"""Utilities: structured logging, profiling hooks, debug toggles."""
+
+from mrisr_tpu.utils.logging import get_logger, StepTimer  # noqa: F401
+from mrisr_tpu.utils.profiling import profile_trace, enable_nan_debug  # noqa: F401

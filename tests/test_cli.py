@@ -1,0 +1,74 @@
+"""CLI smoke tests: synth -> train -> eval end to end through main()."""
+
+import json
+import os
+
+import pytest
+
+
+def test_cli_synth_train_eval(tmp_path, capsys, monkeypatch):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    out = capsys.readouterr().out
+    assert "packed 8 synthetic series" in out
+
+    ckpt_dir = str(tmp_path / "models")
+    res_dir = str(tmp_path / "results")
+    cli.main([
+        "train", "--preset", "unet", "--data", store_dir,
+        "--epochs", "1", "--batch-size", "4", "--image-size", "32",
+        "--checkpoint-dir", ckpt_dir, "--results-dir", res_dir,
+    ])
+    out = capsys.readouterr().out
+    assert "best val loss" in out
+    assert os.path.isdir(os.path.join(ckpt_dir, "unet_best"))
+    assert os.path.exists(os.path.join(res_dir, "unet_history.json"))
+
+    cli.main([
+        "eval", "--model", "unet", "--data", store_dir,
+        "--image-size", "32", "--checkpoint-dir", ckpt_dir,
+        "--results-dir", res_dir, "--max-batches", "2",
+    ])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "3mm" in metrics and "6mm" in metrics
+    assert 0 <= metrics["3mm"]["ssim_mean"] <= 1
+    saved = json.load(open(os.path.join(res_dir, "unet_test_metrics.json")))
+    assert saved.keys() == metrics.keys()
+
+
+def test_cli_predict_volume(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    fig = str(tmp_path / "cmp.png")
+    cli.main([
+        "predict-volume", "--model", "unet", "--data", store_dir,
+        "--image-size", "32", "--checkpoint-dir", str(tmp_path / "nomodels"),
+        "--figure", fig,
+    ])
+    out = capsys.readouterr().out
+    assert "SSIM" in out
+    assert os.path.exists(fig)
+
+
+def test_cli_triplet_figure(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    fig = str(tmp_path / "trip.png")
+    cli.main([
+        "triplet-figure", "--model", "unet", "--data", store_dir,
+        "--image-size", "32", "--checkpoint-dir", str(tmp_path / "none"),
+        "--figure", fig,
+    ])
+    assert os.path.exists(fig)

@@ -1,0 +1,151 @@
+"""Multi-chip logic on the virtual 8-device CPU mesh (SURVEY.md §4).
+
+Validates: mesh construction, batch sharding, data-parallel training steps
+(grad psum via GSPMD), DP == single-device equivalence, tensor-parallel
+param shardings, and the driver's dry-run entry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mrisr_tpu.losses import mse
+from mrisr_tpu.models import UNet
+from mrisr_tpu.parallel.mesh import (
+    MeshSpec,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from mrisr_tpu.train.state import create_train_state, make_optimizer
+from mrisr_tpu.train.steps import make_supervised_steps
+from mrisr_tpu.config import PRESETS
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+HW = 16
+
+
+def _setup(mesh, features=4, donate=False):
+    model = UNet(features=features)
+    x0 = jnp.zeros((8, HW, HW, 2))
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    tx = make_optimizer(PRESETS["unet"].train)
+    state = create_train_state(model, variables, tx)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+    loss_fn = lambda pred, target: (mse(pred, target), {})  # noqa: E731
+    return model, state, make_supervised_steps(loss_fn, donate=donate)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshSpec(data=-1, model=1))
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_dp_training_step_runs_sharded():
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    _, state, (train_step, _) = _setup(mesh)
+    batch = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (16, HW, HW, 3)),
+        batch_sharding(mesh),
+    )
+    with mesh:
+        state2, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain replicated after the step
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device():
+    """The sharded step must produce identical params to the unsharded step
+    on the same global batch (GSPMD inserts the gradient psum)."""
+    batch_np = np.random.default_rng(0).standard_normal(
+        (16, HW, HW, 3)
+    ).astype(np.float32)
+
+    _, state_a, (step_a, _) = _setup(None)
+    state_a2, m_a = step_a(state_a, jnp.asarray(batch_np))
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    _, state_b, (step_b, _) = _setup(mesh)
+    batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    with mesh:
+        state_b2, m_b = step_b(state_b, batch)
+
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a2.params),
+        jax.tree_util.tree_leaves(state_b2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_tensor_parallel_shardings():
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    model = UNet(features=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, HW, HW, 2)), train=False
+    )
+    shardings = param_shardings(variables["params"], mesh, min_size=1024)
+    # at least the big bottleneck kernels must be sharded on 'model'
+    flat = jax.tree_util.tree_leaves_with_path(shardings)
+    sharded = [
+        (path, s) for path, s in flat if s.spec and s.spec[-1] == "model"
+    ]
+    assert sharded, "no parameter got a tensor-parallel sharding"
+    # and the sharded forward still runs
+    params = jax.device_put(variables["params"], shardings)
+    batch_stats = jax.device_put(variables["batch_stats"], replicated(mesh))
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, HW, HW, 2)),
+        batch_sharding(mesh),
+    )
+    with mesh:
+        y = jax.jit(
+            lambda p, bs, x: model.apply(
+                {"params": p, "batch_stats": bs}, x, train=False
+            )
+        )(params, batch_stats, x)
+    assert y.shape == (8, HW, HW, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_driver_dryrun_multichip():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_loader_with_sharding(tmp_path):
+    from mrisr_tpu.config import DataConfig
+    from mrisr_tpu.data.pipeline import build_loader
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+
+    store = make_synthetic_store(
+        str(tmp_path / "s"), num_patients=8, slices_per_volume=8,
+        height=HW, width=HW,
+    )
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    cfg = DataConfig(batch_size=8, image_size=(HW, HW))
+    loader = build_loader(
+        store, "train", cfg, sharding=batch_sharding(mesh)
+    )
+    b = next(iter(loader))
+    assert b.shape == (8, HW, HW, 3)
+    assert not b.sharding.is_fully_replicated

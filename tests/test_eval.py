@@ -146,3 +146,10 @@ def test_api_loaded_model_contract(tmp_path):
     x = jnp.zeros((2, 2, *HW))
     y = m(x)
     assert y.shape == (2, 1, *HW)
+
+
+def test_volume_views_figure(tmp_path, volume):
+    from mrisr_tpu.eval.figures import volume_views_figure
+
+    p = volume_views_figure(volume, save_path=str(tmp_path / "views.png"))
+    assert p and (tmp_path / "views.png").exists()

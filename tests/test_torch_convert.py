@@ -164,3 +164,153 @@ def test_state_dict_layouts_unwrapped():
     ):
         variables = convert_torch_checkpoint("unet", wrap(sd))
         assert "params" in variables and "batch_stats" in variables
+
+
+# ------------------------------------------------------------- FastDDPM
+
+
+def _rand_torch_fastddpm_sd(rng, base=8, time_dim=16, in_ch=3):
+    """Random torch state dict with the Fixed-notebook FastDDPM parameter
+    names (`notebooks/FastDDPM_Training_Fixed.ipynb:cell7` module structure)."""
+    sd = {}
+
+    def lin(prefix, i, o):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.standard_normal((o, i)).astype(np.float32) * 0.2
+        )
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.standard_normal((o,)).astype(np.float32) * 0.1
+        )
+
+    def conv(prefix, i, o, k):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.2
+        )
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.standard_normal((o,)).astype(np.float32) * 0.1
+        )
+
+    def gn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            (rng.standard_normal(c) * 0.1 + 1).astype(np.float32)
+        )
+        sd[f"{prefix}.bias"] = torch.tensor(
+            rng.standard_normal(c).astype(np.float32) * 0.1
+        )
+
+    def res(name, cin, cout):
+        gn(f"{name}.norm1", cin)
+        conv(f"{name}.conv1", cin, cout, 3)
+        gn(f"{name}.norm2", cout)
+        conv(f"{name}.conv2", cout, cout, 3)
+        lin(f"{name}.time_fc", time_dim, cout)
+        if cin != cout:
+            conv(f"{name}.skip", cin, cout, 1)
+
+    lin("time_emb.fc.0", time_dim, time_dim * 2)
+    lin("time_emb.fc.2", time_dim * 2, time_dim)
+    conv("init_conv", in_ch, base, 3)
+    res("enc1", base, base * 2)
+    res("enc2", base * 2, base * 4)
+    res("enc3", base * 4, base * 8)
+    res("bottleneck", base * 8, base * 8)
+    for lvl, (cin, cout) in ((3, (base * 8, base * 4)),
+                             (2, (base * 4, base * 2)),
+                             (1, (base * 2, base))):
+        sd[f"upconv{lvl}.weight"] = torch.tensor(
+            rng.standard_normal((cin, cout, 2, 2)).astype(np.float32) * 0.2
+        )
+        sd[f"upconv{lvl}.bias"] = torch.tensor(
+            rng.standard_normal((cout,)).astype(np.float32) * 0.1
+        )
+    res("dec3", base * 4 + base * 8, base * 4)
+    res("dec2", base * 2 + base * 4, base * 2)
+    res("dec1", base + base * 2, base)
+    gn("final.0", base)
+    conv("final.2", base, 1, 3)
+    return sd
+
+
+def _torch_fastddpm_forward(sd, x, t, base=8, time_dim=16):
+    import math
+
+    def timestep_emb(t, dim):
+        half = dim // 2
+        emb = math.log(10000) / (half - 1)
+        emb = torch.exp(torch.arange(half, dtype=torch.float32) * -emb)
+        emb = t.float()[:, None] * emb[None, :]
+        return torch.cat([torch.sin(emb), torch.cos(emb)], dim=1)
+
+    def lin(p, h):
+        return F.linear(h, sd[f"{p}.weight"], sd[f"{p}.bias"])
+
+    t_emb = timestep_emb(t, time_dim)
+    t_emb = lin("time_emb.fc.2", F.silu(lin("time_emb.fc.0", t_emb)))
+
+    def gnorm(p, h):
+        c = sd[f"{p}.weight"].shape[0]
+        return F.group_norm(h, max(1, c // 4), sd[f"{p}.weight"],
+                            sd[f"{p}.bias"], eps=1e-5)
+
+    def conv(p, h, pad):
+        return F.conv2d(h, sd[f"{p}.weight"], sd[f"{p}.bias"], padding=pad)
+
+    def res(name, h):
+        y = conv(f"{name}.conv1", F.silu(gnorm(f"{name}.norm1", h)), 1)
+        y = y + lin(f"{name}.time_fc", t_emb)[:, :, None, None]
+        y = conv(f"{name}.conv2", F.silu(gnorm(f"{name}.norm2", y)), 1)
+        skip = conv(f"{name}.skip", h, 0) if f"{name}.skip.weight" in sd else h
+        return y + skip
+
+    h = conv("init_conv", x, 1)
+    e1 = res("enc1", h)
+    e2 = res("enc2", F.max_pool2d(e1, 2))
+    e3 = res("enc3", F.max_pool2d(e2, 2))
+    h = res("bottleneck", F.max_pool2d(e3, 2))
+    for lvl, e in ((3, e3), (2, e2), (1, e1)):
+        h = F.conv_transpose2d(h, sd[f"upconv{lvl}.weight"],
+                               sd[f"upconv{lvl}.bias"], stride=2)
+        h = res(f"dec{lvl}", torch.cat([h, e], dim=1))
+    return conv("final.2", F.silu(gnorm("final.0", h)), 1)
+
+
+def test_fastddpm_converter_end_to_end_numeric_parity():
+    from mrisr_tpu.models import FastDDPMUNet
+
+    rng = np.random.default_rng(3)
+    sd = _rand_torch_fastddpm_sd(rng)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([7, 521], dtype=np.int64)
+
+    with torch.no_grad():
+        want = _torch_fastddpm_forward(
+            sd, torch.from_numpy(x), torch.from_numpy(t)
+        ).numpy()
+
+    variables = convert_torch_checkpoint("fastddpm", sd)
+    model = FastDDPMUNet(base_features=8, time_dim=16)
+    got = np.asarray(
+        model.apply(
+            {"params": variables["params"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_fastddpm_converter_tree_matches_flax_init():
+    import jax
+
+    from mrisr_tpu.config import ModelConfig
+
+    rng = np.random.default_rng(4)
+    sd = _rand_torch_fastddpm_sd(rng, base=64, time_dim=128)
+    variables = convert_torch_checkpoint("fastddpm", sd)
+    _, init_vars, _ = init_model(
+        "fastddpm", ModelConfig(name="fastddpm"), image_size=(16, 16)
+    )
+    assert jax.tree_util.tree_structure(
+        variables["params"]
+    ) == jax.tree_util.tree_structure(init_vars["params"])
+    assert param_count(variables["params"]) == 13_899_905
