@@ -30,8 +30,12 @@ from mrisr_tpu.train.trainer import _EpochLoopMixin, _mean_metrics
 class DiffusionTrainer(_EpochLoopMixin):
     def __init__(self, config: Config, image_size=(256, 256), mesh=None):
         self.config = config
+        dtype = (
+            jnp.bfloat16 if config.train.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         self.model, variables, _ = init_model(
-            "fastddpm", config.model, image_size=image_size,
+            "fastddpm", config.model, dtype=dtype, image_size=image_size,
             seed=config.train.seed,
         )
         self.schedule = DiffusionSchedule.create(

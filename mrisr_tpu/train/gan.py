@@ -32,12 +32,18 @@ class GANTrainer(_EpochLoopMixin):
         mesh=None,
     ):
         self.config = config
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16 if config.train.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         gen, g_vars, _ = init_model(
-            "unet_gan", config.model, image_size=image_size,
+            "unet_gan", config.model, dtype=dtype, image_size=image_size,
             seed=config.train.seed,
         )
         disc, d_vars, _ = init_model(
-            "patchgan", config.model, image_size=image_size,
+            "patchgan", config.model, dtype=dtype, image_size=image_size,
             seed=config.train.seed + 1,
         )
         self.gen, self.disc = gen, disc

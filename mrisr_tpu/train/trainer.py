@@ -119,8 +119,13 @@ class SupervisedTrainer(_EpochLoopMixin):
         self.config = config
         self.mesh = mesh
         name = config.model.name
+        dtype = (
+            jnp.bfloat16 if config.train.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         self.model, variables, self.kind = init_model(
-            name, config.model, image_size=image_size, seed=config.train.seed
+            name, config.model, dtype=dtype, image_size=image_size,
+            seed=config.train.seed,
         )
         tx = make_optimizer(config.train)
         self.state = create_train_state(self.model, variables, tx)
