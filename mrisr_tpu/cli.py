@@ -154,11 +154,23 @@ def cmd_eval(args):
     model = load_model(args.model, models_dir=args.checkpoint_dir,
                        image_size=hw)
     out = os.path.join(args.results_dir, f"{args.model}_test_metrics.json")
-    metrics = evaluate_and_save(
-        model.predict_nhwc, store, cfg.data, out_json=out,
-        mode=args.metric_mode, max_batches=args.max_batches,
-        backend=args.backend,
-    )
+    if model.kind == "window":
+        from mrisr_tpu.eval.runner import evaluate_progressive_test_set
+
+        metrics = evaluate_progressive_test_set(
+            model.predict_nhwc, store, cfg.data,
+            mode=args.metric_mode, max_batches=args.max_batches,
+            backend=args.backend,
+        )
+        os.makedirs(args.results_dir, exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(metrics, f, indent=2)
+    else:
+        metrics = evaluate_and_save(
+            model.predict_nhwc, store, cfg.data, out_json=out,
+            mode=args.metric_mode, max_batches=args.max_batches,
+            backend=args.backend,
+        )
     print(json.dumps(metrics, indent=2))
 
 

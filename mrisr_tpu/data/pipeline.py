@@ -157,10 +157,12 @@ class _BaseLoader:
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             if idx.shape[0] < bs and not self.drop_last:
-                # wrap-pad to keep shapes static under jit; callers that need
+                # wrap-pad (tiling if the dataset is smaller than one batch)
+                # to keep shapes static under jit; callers that need
                 # exact-sample eval should use num_samples to mask the tail.
-                pad = order[: bs - idx.shape[0]]
-                idx = np.concatenate([idx, pad])
+                idx = np.concatenate(
+                    [idx, np.resize(order, bs - idx.shape[0])]
+                )
             rows = self.plan_flat[idx]  # (B, C)
             stack = self.bank.gather(rows.reshape(-1)).reshape(
                 bs, c, *self.bank.image_size

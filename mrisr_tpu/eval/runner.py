@@ -56,6 +56,49 @@ def evaluate_pair_model_test_set(
     return out
 
 
+def evaluate_progressive_test_set(
+    predict_fn,
+    store: VolumeStore,
+    data_cfg: DataConfig,
+    split: str = "test",
+    mode: str = "minmax-each",
+    max_batches: Optional[int] = None,
+    backend: str = "host",
+) -> Dict[str, Dict[str, float]]:
+    """Per-stage test metrics for the Progressive UNet: SSIM/PSNR for the
+    i+1 / i+2 / i+3 outputs plus their average — the exact shape of
+    ``results/progressive_unet_history.json: test_metrics``.
+
+    predict_fn: (B, H, W, 5) -> (p1, p2, p3) each (B, H, W, 1).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(data_cfg, augment=False)
+    loader = build_loader(store, split, cfg, kind="window", backend=backend)
+    preds = {k: [] for k in ("i1", "i2", "i3")}
+    gts = {k: [] for k in ("i1", "i2", "i3")}
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        p1, p2, p3 = predict_fn(batch)
+        for k, p, gt_ch in (("i1", p1, 1), ("i2", p2, 2), ("i3", p3, 3)):
+            preds[k].append(np.asarray(p[..., 0]))
+            gts[k].append(np.asarray(batch[..., gt_ch]))
+    n = loader.num_samples
+    if max_batches is not None:
+        n = min(n, max_batches * cfg.batch_size)
+    out: Dict[str, Dict[str, float]] = {}
+    for k in ("i1", "i2", "i3"):
+        out[k] = per_sample_metrics(
+            np.concatenate(gts[k])[:n], np.concatenate(preds[k])[:n], mode=mode
+        )
+    out["average"] = {
+        "ssim": float(np.mean([out[k]["ssim_mean"] for k in ("i1", "i2", "i3")])),
+        "psnr": float(np.mean([out[k]["psnr_mean"] for k in ("i1", "i2", "i3")])),
+    }
+    return out
+
+
 def evaluate_and_save(
     predict_fn,
     store: VolumeStore,

@@ -72,3 +72,21 @@ def test_cli_triplet_figure(tmp_path, capsys):
         "--figure", fig,
     ])
     assert os.path.exists(fig)
+
+
+def test_cli_eval_progressive(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    cli.main([
+        "eval", "--model", "progressive_unet", "--data", store_dir,
+        "--image-size", "32", "--checkpoint-dir", str(tmp_path / "none"),
+        "--results-dir", str(tmp_path / "res"), "--max-batches", "2",
+    ])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert set(metrics) == {"i1", "i2", "i3", "average"}
+    assert "ssim_mean" in metrics["i2"]

@@ -174,3 +174,11 @@ def test_device_backend_gather(store):
     hb = next(iter(TripletLoader(host_bank, None, batch_size=4, shuffle=False)))
     # device bank stores bf16 -> ~2-3 significant digits on z-scores
     np.testing.assert_allclose(np.asarray(b), np.asarray(hb), atol=0.05)
+
+
+def test_tiny_dataset_wrap_pad(store):
+    """Batch size larger than the dataset: wrap-pad must tile."""
+    bank = SliceBank(store, [0], image_size=(64, 64))
+    loader = TripletLoader(bank, 4, batch_size=32, shuffle=False)  # 8 samples
+    b = next(iter(loader))
+    assert b.shape == (32, 64, 64, 3)
