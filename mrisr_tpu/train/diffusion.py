@@ -28,7 +28,10 @@ from mrisr_tpu.train.trainer import _EpochLoopMixin, _mean_metrics
 
 
 class DiffusionTrainer(_EpochLoopMixin):
-    def __init__(self, config: Config, image_size=(256, 256), mesh=None):
+    def __init__(self, config: Config, image_size=(256, 256), mesh=None,
+                 steps_per_epoch: Optional[int] = None):
+        """``steps_per_epoch`` enables the v2-notebook CosineAnnealingLR
+        variant when ``config.train.lr_schedule == 'cosine'``."""
         self.config = config
         dtype = (
             jnp.bfloat16 if config.train.compute_dtype == "bfloat16"
@@ -45,7 +48,8 @@ class DiffusionTrainer(_EpochLoopMixin):
             selection=config.model.timestep_selection,
         )
         self.state = create_train_state(
-            self.model, variables, make_optimizer(config.train)
+            self.model, variables,
+            make_optimizer(config.train, steps_per_epoch=steps_per_epoch),
         )
         if mesh is not None:
             from mrisr_tpu.parallel.mesh import replicated

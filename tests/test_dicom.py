@@ -175,3 +175,18 @@ def test_pack_dicom_tree_end_to_end(tmp_path):
     assert store.entries[0].patient_id == "Prostate-MRI-US-Biopsy-0001"
     vol = store.load_series(0)
     assert vol.shape == (6, 16, 18)
+
+
+def test_export_volume_roundtrip(tmp_path):
+    from mrisr_tpu.data.export import export_volume_dicom
+    from mrisr_tpu.data.discovery import read_series_volume
+
+    rng = np.random.default_rng(9)
+    vol = rng.standard_normal((5, 16, 16)).astype(np.float32)
+    out = export_volume_dicom(vol, str(tmp_path / "pred"), z_spacing=3.0)
+    back = read_series_volume(out)
+    assert back.shape == (5, 16, 16)
+    # affine-mapped: correlation with the original must be ~1
+    c = np.corrcoef(vol.ravel(), back.ravel())[0, 1]
+    assert c > 0.9999
+    assert check_z_spacing(out) == pytest.approx(3.0)
