@@ -251,6 +251,62 @@ class WindowLoader(_BaseLoader):
         )
 
 
+class PrefetchIterator:
+    """Background-thread prefetch of up to ``depth`` batches.
+
+    Overlaps host-side gather/augment dispatch with device compute — the
+    role DataLoader workers played in the reference, without processes.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = max(depth, 1)
+
+    def __len__(self):
+        return len(self.loader)
+
+    @property
+    def num_samples(self):
+        return self.loader.num_samples
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+
+
+def host_shard_patients(patients, process_index: Optional[int] = None,
+                        process_count: Optional[int] = None):
+    """Round-robin patient shard for multi-host data parallelism: each host
+    reads only its own patients (SURVEY.md §2.5 DP row).  Defaults to
+    jax.process_index()/count()."""
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count <= 1:
+        return list(patients)
+    return [p for i, p in enumerate(patients) if i % process_count == process_index]
+
+
 def build_loader(
     store: VolumeStore,
     split: str,
@@ -259,6 +315,7 @@ def build_loader(
     backend: str = "host",
     sharding=None,
     seed: int = 0,
+    shard_by_host: bool = False,
 ) -> _BaseLoader:
     """The ``build_dataloader`` analog: split -> bank -> loader."""
     patients = split_for(
@@ -268,6 +325,8 @@ def build_loader(
         cfg.test_within_fraction,
         cfg.split_seed,
     )
+    if shard_by_host:
+        patients = host_shard_patients(patients)
     series_idx = store.series_for_patients(patients)
     bank = SliceBank(store, series_idx, cfg.image_size, backend=backend)
     aug = _AugmentSpec(

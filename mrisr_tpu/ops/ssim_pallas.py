@@ -43,6 +43,7 @@ def _make_kernel(h: int, w: int, win: int, data_range: float, k1: float, k2: flo
         return acc2 * inv
 
     def kernel(x_ref, y_ref, out_ref):
+        i = pl.program_id(0)
         x = x_ref[0].astype(jnp.float32)
         y = y_ref[0].astype(jnp.float32)
 
@@ -59,7 +60,9 @@ def _make_kernel(h: int, w: int, win: int, data_range: float, k1: float, k2: flo
         s = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)) / (
             (ux * ux + uy * uy + c1) * (vx + vy + c2)
         )
-        out_ref[0, 0] = jnp.sum(s) * (1.0 / float(vh * vw))
+        # the output block is the whole (N, 1) array (a (1, 1) block would
+        # violate the TPU (8, 128) tiling rule); each program writes its row
+        out_ref[i, 0] = jnp.sum(s) * (1.0 / float(vh * vw))
 
     return kernel
 
@@ -85,7 +88,7 @@ def _ssim_pallas_batched(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
     )(x, y)

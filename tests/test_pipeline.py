@@ -182,3 +182,31 @@ def test_tiny_dataset_wrap_pad(store):
     loader = TripletLoader(bank, 4, batch_size=32, shuffle=False)  # 8 samples
     b = next(iter(loader))
     assert b.shape == (32, 64, 64, 3)
+
+
+def test_prefetch_iterator_equivalence(store):
+    from mrisr_tpu.data.pipeline import PrefetchIterator
+
+    bank = SliceBank(store, [0], image_size=(64, 64))
+    base = TripletLoader(bank, None, batch_size=6, shuffle=False, seed=5)
+    pre = PrefetchIterator(
+        TripletLoader(bank, None, batch_size=6, shuffle=False, seed=5),
+        depth=2,
+    )
+    a = [np.asarray(b) for b in base]
+    b = [np.asarray(x) for x in pre]
+    assert len(a) == len(b) == len(base) == len(pre)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_host_shard_patients():
+    from mrisr_tpu.data.pipeline import host_shard_patients
+
+    ps = [f"P{i}" for i in range(10)]
+    shards = [host_shard_patients(ps, i, 4) for i in range(4)]
+    flat = [p for s in shards for p in s]
+    assert sorted(flat) == sorted(ps)
+    assert all(len(s) in (2, 3) for s in shards)
+    # single-process: identity
+    assert host_shard_patients(ps, 0, 1) == ps
