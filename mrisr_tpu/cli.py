@@ -31,6 +31,8 @@ def _add_common_train_args(p):
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--backend", default="host", choices=("host", "device"))
+    p.add_argument("--features", type=int, default=None,
+                   help="base feature width override (default 64)")
 
 
 def _build_config(args, preset_name):
@@ -51,7 +53,10 @@ def _build_config(args, preset_name):
         **({"epochs": args.epochs} if args.epochs else {}),
         **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
     )
-    return dataclasses.replace(cfg, data=data, train=train)
+    model = cfg.model
+    if getattr(args, "features", None):
+        model = dataclasses.replace(model, base_features=args.features)
+    return dataclasses.replace(cfg, data=data, train=train, model=model)
 
 
 def cmd_extract(args):
@@ -152,7 +157,7 @@ def cmd_eval(args):
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     model = load_model(args.model, models_dir=args.checkpoint_dir,
-                       image_size=hw)
+                       cfg=cfg.model, image_size=hw)
     out = os.path.join(args.results_dir, f"{args.model}_test_metrics.json")
     if model.kind == "window":
         from mrisr_tpu.eval.runner import evaluate_progressive_test_set
@@ -204,7 +209,8 @@ def cmd_predict_volume(args):
     hw = cfg.data.image_size
     results = {}
     for name in args.model:
-        model = load_model(name, models_dir=args.checkpoint_dir, image_size=hw)
+        model = load_model(name, models_dir=args.checkpoint_dir,
+                           cfg=cfg.model, image_size=hw)
         if model.kind == "window":
             res = predict_volume_progressive(
                 model.predict_nhwc, volume, image_size=hw
@@ -259,7 +265,8 @@ def cmd_triplet_figure(args):
     hw = cfg.data.image_size
     preds = {}
     for name in args.model:
-        model = load_model(name, models_dir=args.checkpoint_dir, image_size=hw)
+        model = load_model(name, models_dir=args.checkpoint_dir,
+                           cfg=cfg.model, image_size=hw)
         x = jnp.stack([jnp.asarray(pre), jnp.asarray(post)], axis=-1)[None]
         preds[name] = np.asarray(model.predict_nhwc(x))[0, ..., 0]
     path = triplet_grid_figure(pre, post, gt, preds, save_path=args.figure)
@@ -301,8 +308,10 @@ def main(argv=None):
     q.add_argument("--size", type=int, default=256)
     q.set_defaults(fn=cmd_synth)
 
+    from mrisr_tpu.config import PRESETS as _PRESETS
+
     q = sub.add_parser("train")
-    q.add_argument("--preset", required=True)
+    q.add_argument("--preset", required=True, choices=sorted(_PRESETS))
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_train)
 

@@ -60,9 +60,11 @@ def _make_kernel(h: int, w: int, win: int, data_range: float, k1: float, k2: flo
         s = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)) / (
             (ux * ux + uy * uy + c1) * (vx + vy + c2)
         )
-        # the output block is the whole (N, 1) array (a (1, 1) block would
-        # violate the TPU (8, 128) tiling rule); each program writes its row
-        out_ref[i, 0] = jnp.sum(s) * (1.0 / float(vh * vw))
+        # TPU stores must be vector-shaped and tiling-legal: the output is
+        # (N, 128) with the whole array as the block; each program writes
+        # its 128-lane row with the broadcast mean (callers read lane 0)
+        mean = jnp.sum(s) * (1.0 / float(vh * vw))
+        out_ref[i, :] = jnp.full((128,), mean, jnp.float32)
 
     return kernel
 
@@ -88,8 +90,8 @@ def _ssim_pallas_batched(
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        out_specs=pl.BlockSpec((n, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
         interpret=interpret,
     )(x, y)
     return out[:, 0]
