@@ -40,8 +40,13 @@ def _apply(state: TrainState, params, *args, train: bool, **kwargs):
 def make_supervised_steps(
     loss_fn: Callable[[jax.Array, jax.Array], Tuple[jax.Array, Dict]],
     donate: bool = True,
+    jit_steps: bool = True,
 ):
-    """Steps for pair-input models (UNet / DeepCNN): batch (B, H, W, 3)."""
+    """Steps for pair-input models (UNet / DeepCNN): batch (B, H, W, 3).
+
+    ``jit_steps=False`` returns the raw (untraced) functions for embedding
+    in a larger jitted program (train/device_epoch.py).
+    """
 
     def train_step(state: TrainState, batch: jax.Array):
         inputs, target = batch[..., :2], batch[..., 2:3]
@@ -65,6 +70,8 @@ def make_supervised_steps(
         loss, comps = loss_fn(pred, target)
         return {"loss": loss, **comps}
 
+    if not jit_steps:
+        return train_step, eval_step
     donate_args = (0,) if donate else ()
     return (
         jax.jit(train_step, donate_argnums=donate_args),

@@ -1,0 +1,89 @@
+"""Device-resident epoch runner: whole-epoch lax.scan training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.config import PRESETS
+from mrisr_tpu.data.pipeline import SliceBank, TripletLoader, _AugmentSpec
+from mrisr_tpu.data.synthetic import make_synthetic_store
+from mrisr_tpu.losses import mse
+from mrisr_tpu.models import UNet
+from mrisr_tpu.train.device_epoch import DeviceEpochRunner
+from mrisr_tpu.train.state import create_train_state, make_optimizer
+from mrisr_tpu.train.steps import make_supervised_steps
+
+HW = 32
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    store = make_synthetic_store(
+        str(tmp_path_factory.mktemp("dev")), num_patients=6,
+        slices_per_volume=10, height=HW, width=HW,
+    )
+    bank = SliceBank(
+        store, list(range(len(store))), image_size=(HW, HW), backend="device"
+    )
+    loader = TripletLoader(bank, None, batch_size=8, shuffle=False)
+    return bank, loader
+
+
+def test_scan_epoch_trains(setup):
+    bank, loader = setup
+    model = UNet(features=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 2)), train=False
+    )
+    state = create_train_state(
+        model, variables, make_optimizer(PRESETS["unet"].train)
+    )
+    loss_fn = lambda pred, target: (mse(pred, target), {})  # noqa: E731
+    train_step, _ = make_supervised_steps(loss_fn, jit_steps=False)
+    runner = DeviceEpochRunner(
+        bank, loader.plan_flat, train_step, batch_size=8,
+        augment=_AugmentSpec(enabled=True),
+    )
+    assert runner.steps_per_epoch == loader.num_samples // 8
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for e in range(3):
+        state, loss = runner.run_epoch(state, jax.random.fold_in(key, e))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    # state advanced steps_per_epoch * 3 times
+    assert int(state.step) == runner.steps_per_epoch * 3
+
+
+def test_scan_epoch_shuffles_between_epochs(setup):
+    """Different epoch keys must give different batch orders (loss traces
+    differ when training is frozen via lr=0)."""
+    import dataclasses
+
+    bank, loader = setup
+    model = UNet(features=8)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 2)), train=False
+    )
+    cfg0 = dataclasses.replace(PRESETS["unet"].train, learning_rate=0.0)
+    state = create_train_state(model, variables, make_optimizer(cfg0))
+
+    losses_per_batch = []
+
+    def loss_fn(pred, target):
+        return mse(pred, target), {}
+
+    train_step, _ = make_supervised_steps(loss_fn, jit_steps=False)
+    runner = DeviceEpochRunner(bank, loader.plan_flat, train_step, 8)
+
+    # with lr=0 params are frozen: loss differences across epochs come only
+    # from batch order (remainder drop + BN batch statistics), so means are
+    # close but NOT identical — which proves the shuffle actually varies
+    state, l1 = runner.run_epoch(state, jax.random.PRNGKey(1))
+    state, l2 = runner.run_epoch(state, jax.random.PRNGKey(2))
+    assert float(l1) == pytest.approx(float(l2), rel=5e-2)
+    assert float(l1) != float(l2)
