@@ -67,6 +67,10 @@ class _EpochLoopMixin:
             for k, v in train_metrics.items():
                 if k != "loss":
                     self.history.append(**{f"train_{k}": v})
+            if val_loader is not None:
+                for k, v in val_metrics.items():
+                    if k != "loss":
+                        self.history.append(**{f"val_{k}": v})
             if verbose:
                 print(
                     f"Epoch {epoch}/{epochs} | train {train_metrics['loss']:.4f}"
