@@ -1,0 +1,106 @@
+"""Loss-math unit tests (SURVEY.md §4 test-pyramid: losses)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.losses import (
+    combined_loss,
+    l1,
+    lsgan_d_loss,
+    lsgan_g_loss,
+    mse,
+    progressive_loss,
+    ssim_loss,
+)
+from mrisr_tpu.losses.vgg import make_perceptual_fn
+
+
+def test_mse_l1():
+    a = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    b = jnp.array([[1.0, 0.0], [3.0, 8.0]])
+    assert float(mse(a, b)) == pytest.approx((0 + 4 + 0 + 16) / 4)
+    assert float(l1(a, b)) == pytest.approx((0 + 2 + 0 + 4) / 4)
+
+
+def test_lsgan_formulas():
+    d_real = jnp.array([0.8, 1.2])
+    d_fake = jnp.array([0.1, -0.1])
+    # D: 0.5 * (mean((real-1)^2) + mean(fake^2))
+    want_d = 0.5 * (np.mean([0.04, 0.04]) + np.mean([0.01, 0.01]))
+    assert float(lsgan_d_loss(d_real, d_fake)) == pytest.approx(want_d)
+    # G: mean((fake-1)^2)
+    want_g = np.mean([0.81, 1.21])
+    assert float(lsgan_g_loss(d_fake)) == pytest.approx(want_g)
+    # perfect discriminator -> D loss 0; fooled discriminator -> G loss 0
+    assert float(lsgan_d_loss(jnp.ones(3), jnp.zeros(3))) == 0.0
+    assert float(lsgan_g_loss(jnp.ones(3))) == 0.0
+
+
+def test_ssim_loss_zero_for_identical():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16))
+    assert float(ssim_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_ssim_loss_differentiable():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16))
+    y = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16))
+    g = jax.grad(lambda p: ssim_loss(p, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_combined_loss_composition():
+    key = jax.random.PRNGKey(0)
+    pred = jax.random.normal(key, (2, 32, 32, 1))
+    target = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+
+    total_no_perc, comps = combined_loss(pred, target, perceptual_fn=None,
+                                         lambda_ssim=0.3)
+    assert set(comps) == {"mse", "ssim"}
+    assert float(total_no_perc) == pytest.approx(
+        float(comps["mse"]) + 0.3 * float(comps["ssim"]), rel=1e-6
+    )
+
+    perc = make_perceptual_fn()
+    total, comps = combined_loss(pred, target, perceptual_fn=perc,
+                                 lambda_perceptual=0.5, lambda_ssim=0.3)
+    assert float(total) == pytest.approx(
+        float(comps["mse"]) + 0.3 * float(comps["ssim"])
+        + 0.5 * float(comps["perceptual"]),
+        rel=1e-6,
+    )
+
+
+def test_perceptual_fn_properties():
+    perc = make_perceptual_fn()
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 1))
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 1))
+    assert float(perc(x, x)) == pytest.approx(0.0, abs=1e-6)
+    d = float(perc(x, y))
+    assert d > 0
+    # deterministic fallback init: same fn twice gives the same distance
+    perc2 = make_perceptual_fn()
+    assert float(perc2(x, y)) == pytest.approx(d, rel=1e-6)
+    # differentiable
+    g = jax.grad(lambda p: perc(p, y))(x)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_progressive_loss_weights():
+    key = jax.random.PRNGKey(0)
+    window = jax.random.normal(key, (2, 8, 8, 5))
+    p1 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    p2 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 1))
+    p3 = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 1))
+    total, comps = progressive_loss((p1, p2, p3), window,
+                                    w_i1=0.5, w_i2=1.0, w_i3=0.5)
+    want = (
+        0.5 * float(mse(p1, window[..., 1:2]))
+        + 1.0 * float(mse(p2, window[..., 2:3]))
+        + 0.5 * float(mse(p3, window[..., 3:4]))
+    )
+    assert float(total) == pytest.approx(want, rel=1e-6)
+    assert set(comps) == {"i1", "i2", "i3", "total"}
