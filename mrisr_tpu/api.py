@@ -18,7 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrisr_tpu.config import ModelConfig
-from mrisr_tpu.models.diffusion import DiffusionSchedule, sample_ancestral
+from mrisr_tpu.models.diffusion import (
+    DiffusionSchedule,
+    FastNoiseSchedule,
+    sample_ancestral,
+    sample_ddim,
+)
 from mrisr_tpu.models.registry import MODEL_REGISTRY, create_model, init_model
 
 
@@ -42,16 +47,29 @@ class LoadedModel:
 
     def __post_init__(self):
         if self.kind == "diffusion":
-            if self.schedule is None:
-                self.schedule = DiffusionSchedule.create()
+            if self.name == "fastddpm_simple":
+                # the ModelLoader M10 lineage: compressed-T schedule, DDIM
+                # sampler, [x, cond] input order (ModelLoader.py:604-636)
+                if self.schedule is None:
+                    self.schedule = FastNoiseSchedule.create(10)
 
-            def _sample(variables, cond_nhwc, key):
-                eps = lambda x_in, t: self.module.apply(  # noqa: E731
-                    variables, x_in, t
-                )
-                return sample_ancestral(
-                    eps, cond_nhwc, key, self.schedule, combine="first"
-                )
+                def _sample(variables, cond_nhwc, key):
+                    eps = lambda x_in, t: self.module.apply(  # noqa: E731
+                        variables, x_in, t
+                    )
+                    return sample_ddim(eps, cond_nhwc, key, self.schedule)
+
+            else:
+                if self.schedule is None:
+                    self.schedule = DiffusionSchedule.create()
+
+                def _sample(variables, cond_nhwc, key):
+                    eps = lambda x_in, t: self.module.apply(  # noqa: E731
+                        variables, x_in, t
+                    )
+                    return sample_ancestral(
+                        eps, cond_nhwc, key, self.schedule, combine="first"
+                    )
 
             self._jit_sample = jax.jit(_sample)
         else:

@@ -153,3 +153,31 @@ def test_volume_views_figure(tmp_path, volume):
 
     p = volume_views_figure(volume, save_path=str(tmp_path / "views.png"))
     assert p and (tmp_path / "views.png").exists()
+
+
+def test_api_diffusion_models_sample(tmp_path):
+    """Both diffusion lineages sample through the API with the right
+    scheduler: 'fastddpm' -> ancestral over original timesteps;
+    'fastddpm_simple' -> DDIM over the compressed schedule, clamped."""
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.config import ModelConfig
+
+    x = jnp.zeros((1, 2, *HW))
+    m1 = load_model(
+        "fastddpm", models_dir=str(tmp_path),
+        cfg=ModelConfig(name="fastddpm", base_features=8, time_dim=16),
+        image_size=HW,
+    )
+    y1 = m1(x, key=jax.random.PRNGKey(0))
+    assert y1.shape == (1, 1, *HW)
+    assert np.isfinite(np.asarray(y1)).all()
+
+    m2 = load_model(
+        "fastddpm_simple", models_dir=str(tmp_path),
+        cfg=ModelConfig(name="fastddpm_simple", base_features=8),
+        image_size=HW,
+    )
+    y2 = m2(x, key=jax.random.PRNGKey(0))
+    assert y2.shape == (1, 1, *HW)
+    o = np.asarray(y2)
+    assert o.min() >= -1.0 and o.max() <= 1.0  # DDIM clamp
