@@ -12,6 +12,7 @@ from mrisr_tpu.ckpt.io import (  # noqa: F401
     get_latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_async_saves,
 )
 from mrisr_tpu.ckpt.torch_convert import (  # noqa: F401
     convert_torch_checkpoint,

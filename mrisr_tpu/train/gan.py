@@ -109,10 +109,11 @@ class GANTrainer(_EpochLoopMixin):
             "best_loss": np.asarray(best_loss, np.float64),
         }
 
-    def save(self, path: str, epoch: int, best_loss: float) -> None:
+    def save(self, path: str, epoch: int, best_loss: float,
+             async_: bool = False) -> None:
         from mrisr_tpu.ckpt import save_checkpoint
 
-        save_checkpoint(path, self._state_dict(epoch, best_loss))
+        save_checkpoint(path, self._state_dict(epoch, best_loss), async_=async_)
 
     def load(self, path: str) -> None:
         from mrisr_tpu.ckpt import restore_checkpoint

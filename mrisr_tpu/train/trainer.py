@@ -90,7 +90,12 @@ class _EpochLoopMixin:
                     print(f"  (patience {patience_counter}/{patience})")
             self.save(self._ckpt_path("latest"), epoch, best_loss)
             if self.config.train.save_every_epoch:
-                self.save(self._ckpt_path(f"epoch_{epoch}"), epoch, best_loss)
+                # per-epoch resume snapshots go through the async writer so
+                # the step loop never waits on IO (flushed at exit / next save)
+                self.save(
+                    self._ckpt_path(f"epoch_{epoch}"), epoch, best_loss,
+                    async_=True,
+                )
             if patience and patience_counter >= patience:
                 if verbose:
                     print(f"Early stopping after {epoch} epochs")
@@ -194,10 +199,11 @@ class SupervisedTrainer(_EpochLoopMixin):
             "best_loss": np.asarray(best_loss, np.float64),
         }
 
-    def save(self, path: str, epoch: int, best_loss: float) -> None:
+    def save(self, path: str, epoch: int, best_loss: float,
+             async_: bool = False) -> None:
         from mrisr_tpu.ckpt import save_checkpoint
 
-        save_checkpoint(path, self._state_dict(epoch, best_loss))
+        save_checkpoint(path, self._state_dict(epoch, best_loss), async_=async_)
 
     def load(self, path: str) -> None:
         from mrisr_tpu.ckpt import restore_checkpoint
