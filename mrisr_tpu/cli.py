@@ -143,6 +143,12 @@ def cmd_train(args):
 
         trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
                                     image_size=hw)
+        if args.scan_epochs:
+            if args.backend != "device":
+                raise SystemExit("--scan-epochs requires --backend device")
+            trainer.enable_device_epochs(
+                train_loader.bank, train_loader.plan_flat
+            )
     hist = trainer.fit(train_loader, val_loader)
     print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
 
@@ -312,6 +318,11 @@ def main(argv=None):
 
     q = sub.add_parser("train")
     q.add_argument("--preset", required=True, choices=sorted(_PRESETS))
+    q.add_argument(
+        "--scan-epochs", action="store_true",
+        help="run each train epoch as ONE on-device lax.scan "
+             "(pair models, requires --backend device)",
+    )
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_train)
 

@@ -182,6 +182,12 @@ def make_gan_steps(
 
     The discriminator is conditional: D(concat(pre, post, candidate)).
     D updates on stop_gradient(fake); G updates with a fresh forward.
+
+    BN note: the detached fake fed to D is produced with the generator's
+    RUNNING statistics (eval-mode G forward); the G update itself runs
+    train-mode.  The reference's (lost) loop likely kept G in train mode for
+    both — a deliberate simplification here that avoids double-mutating G's
+    stats per step; the G gradient path is unaffected.
     """
 
     def train_step(g_state: TrainState, d_state: TrainState, batch: jax.Array):

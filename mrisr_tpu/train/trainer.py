@@ -165,9 +165,19 @@ class SupervisedTrainer(_EpochLoopMixin):
             self.train_step, self.eval_step = make_supervised_steps(
                 loss_fn, donate=config.train.donate_batch
             )
+            self._raw_train_step, _ = make_supervised_steps(
+                loss_fn, jit_steps=False
+            )
+        self._device_runner = None
         self.history = TrainingHistory(json.loads(config.to_json()))
 
     def run_epoch(self, loader, train: bool, epoch: int) -> Dict[str, float]:
+        if train and self._device_runner is not None:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.train.seed), epoch
+            )
+            self.state, loss = self._device_runner.run_epoch(self.state, key)
+            return {"loss": float(loss)}
         acc: Dict[str, float] = {}
         n = 0
         for batch in loader:
@@ -179,6 +189,28 @@ class SupervisedTrainer(_EpochLoopMixin):
                 acc[k] = acc.get(k, 0.0) + float(v)
             n += 1
         return _mean_metrics(acc, n)
+
+    # --------------------------------------------------------- scan epochs
+    def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
+        """Switch TRAIN epochs to the device-resident lax.scan runner
+        (train/device_epoch.py): bank must be a device-backend SliceBank and
+        ``plan_flat`` the loader's (N, 3) flat slice plan.  Validation still
+        uses the regular loader path.  Pair-kind models only."""
+        from mrisr_tpu.data.pipeline import _AugmentSpec
+        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
+
+        assert self.kind == "pair", "scan epochs support pair models only"
+        self._device_runner = DeviceEpochRunner(
+            bank, plan_flat, self._raw_train_step,
+            batch_size=self.config.data.batch_size,
+            augment=augment or _AugmentSpec(
+                enabled=self.config.data.augment,
+                hflip=self.config.data.hflip,
+                vflip=self.config.data.vflip,
+                rot90=self.config.data.rot90,
+                rotate_degrees=self.config.data.rotate_degrees,
+            ),
+        )
 
     # ------------------------------------------------------------- predict
     def predict(self, inputs: jax.Array):

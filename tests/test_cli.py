@@ -90,3 +90,25 @@ def test_cli_eval_progressive(tmp_path, capsys):
     metrics = json.loads(out[out.index("{"):])
     assert set(metrics) == {"i1", "i2", "i3", "average"}
     assert "ssim_mean" in metrics["i2"]
+
+
+def test_cli_train_scan_epochs(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    cli.main([
+        "train", "--preset", "unet", "--data", store_dir,
+        "--epochs", "2", "--batch-size", "8", "--image-size", "32",
+        "--features", "8", "--backend", "device", "--scan-epochs",
+        "--checkpoint-dir", str(tmp_path / "m"),
+        "--results-dir", str(tmp_path / "r"),
+    ])
+    out = capsys.readouterr().out
+    assert "best val loss" in out
+    import json as _json
+    h = _json.load(open(str(tmp_path / "r" / "unet_history.json")))
+    assert len(h["train_loss"]) == 2
+    assert h["train_loss"][1] < h["train_loss"][0]
