@@ -120,6 +120,7 @@ def load_model(
     checkpoint: Optional[str] = None,
     cfg: Optional[ModelConfig] = None,
     image_size: Tuple[int, int] = (256, 256),
+    fold_bn: bool = False,
 ) -> LoadedModel:
     """Load the best checkpoint for ``model_name``.
 
@@ -153,6 +154,27 @@ def load_model(
     elif require:
         raise FileNotFoundError(
             f"Checkpoint not found for {name} in {models_dir}"
+        )
+
+    # serving optimization: fold BN affine + running stats into conv weights
+    # (ckpt/fold_bn.py) — numerically exact, removes 18 elementwise passes
+    if (
+        fold_bn
+        and name in ("unet", "unet_combined", "unet_gan")
+        and variables.get("batch_stats")
+    ):
+        from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
+        from mrisr_tpu.models.unet import UNet as _UNet
+
+        variables = fold_unet_batchnorm(
+            variables["params"], variables["batch_stats"]
+        )
+        module = _UNet(
+            out_channels=(cfg or ModelConfig()).out_channels,
+            features=(cfg or ModelConfig()).base_features,
+            use_bias=(name != "unet_gan"),
+            use_bn=False,
+            dtype=module.dtype,
         )
     return LoadedModel(name=name, module=module, variables=variables, kind=kind)
 

@@ -28,23 +28,31 @@ class DoubleConv(nn.Module):
 
     ``use_bias=True`` matches UNetBlock (M1); ``False`` matches
     ProgressiveUNetBlock / GANUNetBlock (M3).
+
+    ``use_bn=False`` builds the BN-FOLDED inference variant: BN's affine +
+    running stats are pre-multiplied into the conv weights
+    (ckpt/fold_bn.py), eliminating per-block elementwise normalization
+    traffic on the serving path.  Folded convs always carry a bias.
     """
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.float32
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(2):
             x = nn.Conv(
-                self.features, (3, 3), padding=1, use_bias=self.use_bias,
+                self.features, (3, 3), padding=1,
+                use_bias=self.use_bias or not self.use_bn,
                 dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=self.dtype,
-            )(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS, dtype=self.dtype,
+                )(x)
             x = nn.relu(x)
         return x
 

@@ -26,12 +26,15 @@ class UNet(nn.Module):
     features: int = 64
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # False -> BN-folded inference topology (see ckpt/fold_bn.py)
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
         dc = lambda feat, name: DoubleConv(  # noqa: E731
-            feat, use_bias=self.use_bias, dtype=self.dtype, name=name
+            feat, use_bias=self.use_bias, dtype=self.dtype, name=name,
+            use_bn=self.use_bn,
         )
 
         enc1 = dc(f, "enc1")(x, train)
