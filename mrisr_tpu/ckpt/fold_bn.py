@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mrisr_tpu.models.blocks import BN_EPS
@@ -31,9 +33,11 @@ def _fold_conv(conv: Dict, bn_params: Dict, bn_stats: Dict) -> Dict:
     mean = np.asarray(bn_stats["mean"], np.float64)
     var = np.asarray(bn_stats["var"], np.float64)
     s = scale / np.sqrt(var + BN_EPS)
+    # device arrays, not numpy: numpy leaves would be re-uploaded on every
+    # jitted call (measured 13x slower through the TPU tunnel)
     return {
-        "kernel": (w * s).astype(np.float32),
-        "bias": ((b - mean) * s + bias).astype(np.float32),
+        "kernel": jnp.asarray((w * s).astype(np.float32)),
+        "bias": jnp.asarray(((b - mean) * s + bias).astype(np.float32)),
     }
 
 
@@ -52,5 +56,5 @@ def fold_unet_batchnorm(params: Dict, batch_stats: Dict) -> Dict:
                 )
             out[name] = folded
         else:  # upconvN / final: no BN attached
-            out[name] = {k: np.asarray(v) for k, v in sub.items()}
+            out[name] = {k: jnp.asarray(v) for k, v in sub.items()}
     return {"params": out}

@@ -48,7 +48,10 @@ class DeviceEpochRunner:
         train_step: Callable,
         batch_size: int,
         augment: Optional[_AugmentSpec] = None,
+        step_takes_key: bool = False,
     ):
+        """``step_takes_key=True`` for steps with signature
+        (state, batch, key) — the diffusion step's noise/timestep draws."""
         assert bank.backend == "device", "DeviceEpochRunner needs a device bank"
         self.flat = bank.flat  # (S, H, W) device array
         self.plan = jax.device_put(jnp.asarray(plan_flat, jnp.int32))
@@ -61,7 +64,7 @@ class DeviceEpochRunner:
         bs = batch_size
 
         def epoch_fn(state: TrainState, flat, plan, key):
-            k_perm, k_aug = jax.random.split(key)
+            k_perm, k_aug, k_step = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n)
 
             def body(carry, step):
@@ -76,7 +79,12 @@ class DeviceEpochRunner:
                         hflip=aug.hflip, vflip=aug.vflip, rot90=aug.rot90,
                         rotate_degrees=aug.rotate_degrees,
                     )
-                state, metrics = train_step(state, batch)
+                if step_takes_key:
+                    state, metrics = train_step(
+                        state, batch, jax.random.fold_in(k_step, step)
+                    )
+                else:
+                    state, metrics = train_step(state, batch)
                 return state, metrics["loss"]
 
             state, losses = jax.lax.scan(

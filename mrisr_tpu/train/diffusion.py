@@ -58,6 +58,10 @@ class DiffusionTrainer(_EpochLoopMixin):
         self.train_step, self.eval_step = make_diffusion_steps(
             self.schedule, donate=config.train.donate_batch
         )
+        self._raw_train_step, _ = make_diffusion_steps(
+            self.schedule, jit_steps=False
+        )
+        self._device_runner = None
         self.key = jax.random.PRNGKey(config.train.seed)
         self.history = TrainingHistory(json.loads(config.to_json()))
         def _sample_first(params, cond, key):
@@ -71,7 +75,29 @@ class DiffusionTrainer(_EpochLoopMixin):
     def _eps_fn(self, x_in, t):
         return self.model.apply({"params": self.state.params}, x_in, t)
 
+    def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
+        """Train epochs as one on-device lax.scan (train/device_epoch.py)."""
+        from mrisr_tpu.data.pipeline import _AugmentSpec
+        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
+
+        self._device_runner = DeviceEpochRunner(
+            bank, plan_flat, self._raw_train_step,
+            batch_size=self.config.data.batch_size,
+            augment=augment or _AugmentSpec(
+                enabled=self.config.data.augment,
+                hflip=self.config.data.hflip,
+                vflip=self.config.data.vflip,
+                rot90=self.config.data.rot90,
+                rotate_degrees=self.config.data.rotate_degrees,
+            ),
+            step_takes_key=True,
+        )
+
     def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
+        if train and self._device_runner is not None:
+            key = jax.random.fold_in(self.key, epoch)
+            self.state, loss = self._device_runner.run_epoch(self.state, key)
+            return {"loss": float(loss)}
         acc: Dict[str, float] = {}
         n = 0
         base = jax.random.fold_in(self.key, epoch * 2 + (0 if train else 1))

@@ -117,7 +117,7 @@ def make_progressive_steps(
 
 
 def make_diffusion_steps(
-    schedule: DiffusionSchedule, donate: bool = True
+    schedule: DiffusionSchedule, donate: bool = True, jit_steps: bool = True
 ):
     """Fast-DDPM ε-prediction steps (Fixed:cell11 semantics).
 
@@ -159,6 +159,8 @@ def make_diffusion_steps(
         eps = state.apply_fn({"params": state.params}, x_in, t)
         return {"loss": mse(eps, noise)}
 
+    if not jit_steps:
+        return train_step, eval_step
     donate_args = (0,) if donate else ()
     return (
         jax.jit(train_step, donate_argnums=donate_args),

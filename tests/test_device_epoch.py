@@ -87,3 +87,29 @@ def test_scan_epoch_shuffles_between_epochs(setup):
     state, l2 = runner.run_epoch(state, jax.random.PRNGKey(2))
     assert float(l1) == pytest.approx(float(l2), rel=5e-2)
     assert float(l1) != float(l2)
+
+
+def test_scan_epoch_diffusion(setup):
+    """Keyed-step variant: diffusion training inside one lax.scan."""
+    import dataclasses
+
+    from mrisr_tpu.config import PRESETS, DataConfig, ModelConfig
+    from mrisr_tpu.train import DiffusionTrainer
+
+    bank, loader = setup
+    cfg = PRESETS["fastddpm"]
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(batch_size=8, image_size=(HW, HW)),
+        model=dataclasses.replace(cfg.model, base_features=8, time_dim=16),
+        train=dataclasses.replace(cfg.train, save_every_epoch=False,
+                                  learning_rate=1e-3),
+    )
+    trainer = DiffusionTrainer(cfg, image_size=(HW, HW))
+    trainer.enable_device_epochs(bank, loader.plan_flat)
+    losses = []
+    for e in range(2):
+        m = trainer.run_epoch(None, train=True, epoch=e)
+        losses.append(m["loss"])
+    assert all(np.isfinite(losses))
+    assert losses[1] < losses[0]
