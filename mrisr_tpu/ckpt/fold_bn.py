@@ -7,11 +7,14 @@ per channel and can be pre-multiplied into the preceding conv —
       = conv'(x) + b'      with   w' = w * s,  b' = (b - mean) * s + bias,
                                   s  = scale / sqrt(var + eps)
 
-This removes 18 full-resolution elementwise normalization passes from the
-UNet forward (the reference's PyTorch eval path executed every one of them).
 The folded tree loads into ``UNet(use_bn=False)``; numeric equivalence is
-asserted in tests/test_fold_bn.py and throughput impact is measured in
-bench.py.
+asserted in tests/test_fold_bn.py.
+
+Measured on v5e: throughput-neutral (1221 vs 1220 slices/s) — XLA already
+fuses the eval-mode BN affine into the conv epilogue, so folding buys
+simplicity (a conv-only serving graph, fewer params to ship), not speed.
+Kept because exported/serving graphs benefit and it documents the fusion
+fact.
 """
 
 from __future__ import annotations

@@ -241,6 +241,56 @@ def cmd_predict_volume(args):
         print(f"figure -> {path}")
 
 
+def cmd_compare(args):
+    """Evaluate several models and emit the README-style results table
+    (SSIM/PSNR per spacing, never aggregated) as markdown + CSV — the
+    metrics-table artifact of the reference (`v3:cell27` CSV,
+    README.md:121-130 table)."""
+    import csv
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.config import PRESETS
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
+
+    store = VolumeStore.open(args.data)
+    rows = []
+    for name in args.model:
+        cfg = _build_config(args, name if name in PRESETS else "unet")
+        model = load_model(name, models_dir=args.checkpoint_dir,
+                           cfg=cfg.model, image_size=cfg.data.image_size)
+        if model.kind == "window":
+            continue  # progressive handled by `eval --model progressive_unet`
+        m = evaluate_pair_model_test_set(
+            model.predict_nhwc, store, cfg.data,
+            mode=args.metric_mode, max_batches=args.max_batches,
+            backend=args.backend,
+        )
+        rows.append(
+            (name,
+             m.get("3mm", {}).get("ssim_mean"), m.get("3mm", {}).get("psnr_mean"),
+             m.get("6mm", {}).get("ssim_mean"), m.get("6mm", {}).get("psnr_mean"))
+        )
+
+    header = ("Model", "SSIM (3mm)", "PSNR (3mm)", "SSIM (6mm)", "PSNR (6mm)")
+    print("| " + " | ".join(header) + " |")
+    print("|" + "---|" * len(header))
+    for r in rows:
+        cells = [r[0]] + [
+            f"{v:.4f}" if i in (0, 2) else f"{v:.2f}"
+            for i, v in enumerate(r[1:]) if v is not None
+        ]
+        print("| " + " | ".join(cells) + " |")
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    csv_path = os.path.join(args.results_dir, "comparison_metrics.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    print(f"csv -> {csv_path}")
+
+
 def cmd_triplet_figure(args):
     """V10 parity: one seeded random mid-volume triplet, all models
     (`/root/reference/src/VolumeVisualization.py:737-881`)."""
@@ -341,6 +391,14 @@ def main(argv=None):
     q.add_argument("--figure", default=None)
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_predict_volume)
+
+    q = sub.add_parser("compare")
+    q.add_argument("--model", nargs="+", required=True)
+    q.add_argument("--metric-mode", default="minmax-each",
+                   choices=("minmax-each", "denorm-11", "raw"))
+    q.add_argument("--max-batches", type=int, default=None)
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_compare)
 
     q = sub.add_parser("triplet-figure")
     q.add_argument("--model", nargs="+", required=True)

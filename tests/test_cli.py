@@ -112,3 +112,22 @@ def test_cli_train_scan_epochs(tmp_path, capsys):
     h = _json.load(open(str(tmp_path / "r" / "unet_history.json")))
     assert len(h["train_loss"]) == 2
     assert h["train_loss"][1] < h["train_loss"][0]
+
+
+def test_cli_compare_table(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    cli.main([
+        "compare", "--model", "unet", "deepcnn", "--data", store_dir,
+        "--image-size", "32", "--features", "8",
+        "--checkpoint-dir", str(tmp_path / "none"),
+        "--results-dir", str(tmp_path / "res"), "--max-batches", "2",
+    ])
+    out = capsys.readouterr().out
+    assert "| Model | SSIM (3mm)" in out
+    assert "| unet |" in out and "| deepcnn |" in out
+    assert os.path.exists(str(tmp_path / "res" / "comparison_metrics.csv"))
