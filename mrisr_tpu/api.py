@@ -11,12 +11,10 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from mrisr_tpu.config import ModelConfig
 from mrisr_tpu.models.diffusion import (
     DiffusionSchedule,
@@ -24,7 +22,7 @@ from mrisr_tpu.models.diffusion import (
     sample_ancestral,
     sample_ddim,
 )
-from mrisr_tpu.models.registry import MODEL_REGISTRY, create_model, init_model
+from mrisr_tpu.models.registry import MODEL_REGISTRY, init_model
 
 
 def _nchw_to_nhwc(x):

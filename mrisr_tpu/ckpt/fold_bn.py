@@ -19,9 +19,8 @@ fact.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -155,7 +155,7 @@ def cmd_train(args):
 
 def cmd_eval(args):
     from mrisr_tpu.api import load_model
-    from mrisr_tpu.config import ModelConfig, PRESETS
+    from mrisr_tpu.config import PRESETS
     from mrisr_tpu.data.volumes import VolumeStore
     from mrisr_tpu.eval.runner import evaluate_and_save
 

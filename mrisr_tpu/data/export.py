@@ -8,7 +8,7 @@ data/dicom_lite.py, with monotone Z positions at the requested spacing.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

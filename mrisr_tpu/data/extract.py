@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import zipfile
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 def extract_zip(

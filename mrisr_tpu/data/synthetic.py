@@ -9,9 +9,6 @@ end-to-end training tests can assert loss decreases.
 
 from __future__ import annotations
 
-import os
-from typing import Optional
-
 import numpy as np
 
 

@@ -22,7 +22,6 @@ epoch's sample plan is a single vectorized computation.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 

@@ -19,7 +19,7 @@ All SSIM values match skimage defaults (ops/ssim.py golden tests).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

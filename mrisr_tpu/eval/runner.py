@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 from typing import Dict, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from mrisr_tpu.config import DataConfig

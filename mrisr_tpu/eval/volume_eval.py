@@ -21,8 +21,7 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ histories, λ_perceptual = 0.1) and the README names "VGG perceptual loss"
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax

@@ -13,7 +13,7 @@ conv-BN-ReLU x2 with bias), ProgressiveUNetBlock / GANUNetBlock
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

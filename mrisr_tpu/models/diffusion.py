@@ -26,10 +26,9 @@ sharded over the data mesh axis (SURVEY.md §3.4).
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from dataclasses import dataclass
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ preserving the "paired" property.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -13,10 +13,9 @@ Golden-tested against torch CPU in tests/test_resize.py.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(

@@ -22,8 +22,6 @@ available) in tests/test_ssim.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -11,7 +11,6 @@ Sampling goes through models/diffusion.py's ``lax.scan`` samplers.
 from __future__ import annotations
 
 import json
-import os
 from typing import Dict, Iterable, Optional
 
 import jax

@@ -9,7 +9,6 @@ g/d/l1/perc/adv losses, matching the artifact's key layout.
 from __future__ import annotations
 
 import json
-import os
 from typing import Callable, Dict, Iterable, Optional
 
 import jax

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax
 import optax
 from flax.training import train_state
 

@@ -8,7 +8,6 @@ gradient psum inserted by GSPMD.  Mirrors the reference's per-batch loops
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
