@@ -170,6 +170,33 @@ def eval_hierarchical_pairs(n_slices: int) -> np.ndarray:
     return np.stack([i, i + 1, i + 2, i + 3, i + 4], axis=1)
 
 
+def recursive_bisection_triplets(n_slices: int) -> np.ndarray:
+    """Multi-scale triplets by recursive midpoint bisection over [0, Z-1].
+
+    The reference prototyped (but never trained on) this generator
+    (`/root/reference/src/Dataset_Generator.ipynb:cell5`,
+    ``generate_progressive_triplets``): starting from the full volume span,
+    emit (left, right) -> mid and recurse into both halves while the gap
+    is at least 2.  Returns (N, 3) [pre, mid, post] rows in recursion
+    (pre-order) order — the "scale the gap algorithmically" idea the
+    Progressive UNet productionized (SURVEY.md §5 long-context row).
+    """
+    rows: List[Tuple[int, int, int]] = []
+
+    def recurse(lo: int, hi: int):
+        if hi - lo < 2:
+            return
+        mid = (lo + hi) // 2
+        rows.append((lo, mid, hi))
+        recurse(lo, mid)
+        recurse(mid, hi)
+
+    recurse(0, n_slices - 1)
+    if not rows:
+        return np.zeros((0, 3), dtype=np.int32)
+    return np.asarray(rows, dtype=np.int32)
+
+
 def eval_progressive_windows(n_slices: int) -> np.ndarray:
     """All 5-slice windows, middle index i+2 (VolumeVisualization.py:89-116)."""
     i = np.arange(0, n_slices - 4, dtype=np.int32)

@@ -111,3 +111,19 @@ def test_eval_generators():
     h = eval_hierarchical_pairs(60)
     assert h.shape == (56, 5)
     assert (h[:, 4] == h[:, 0] + 4).all()
+
+
+def test_recursive_bisection_triplets():
+    from mrisr_tpu.data.triplets import recursive_bisection_triplets
+
+    t = recursive_bisection_triplets(5)  # span [0, 4]
+    # pre-order: (0,2,4) then left half (0,1,2) then right half (2,3,4)
+    assert t.tolist() == [[0, 2, 4], [0, 1, 2], [2, 3, 4]]
+    # midpoints always strictly inside, gaps halve down to 2
+    t = recursive_bisection_triplets(60)
+    assert (t[:, 0] < t[:, 1]).all() and (t[:, 1] < t[:, 2]).all()
+    assert (t[:, 1] == (t[:, 0] + t[:, 2]) // 2).all()
+    # every interior slice gets covered as a midpoint exactly once
+    mids = sorted(t[:, 1].tolist())
+    assert len(set(mids)) == len(mids)
+    assert recursive_bisection_triplets(2).shape == (0, 3)
