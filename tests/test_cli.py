@@ -131,3 +131,22 @@ def test_cli_compare_table(tmp_path, capsys):
     assert "| Model | SSIM (3mm)" in out
     assert "| unet |" in out and "| deepcnn |" in out
     assert os.path.exists(str(tmp_path / "res" / "comparison_metrics.csv"))
+
+
+def test_cli_eval_fastddpm_sampling(tmp_path, capsys):
+    """Diffusion eval through the CLI: sampling-based metrics per spacing."""
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    cli.main([
+        "eval", "--model", "fastddpm", "--data", store_dir,
+        "--image-size", "32", "--features", "8", "--batch-size", "4",
+        "--checkpoint-dir", str(tmp_path / "none"),
+        "--results-dir", str(tmp_path / "res"), "--max-batches", "1",
+    ])
+    out = capsys.readouterr().out
+    metrics = json.loads(out[out.index("{"):])
+    assert "3mm" in metrics and "6mm" in metrics
