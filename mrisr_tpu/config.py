@@ -200,19 +200,50 @@ PRESETS = {
         train=TrainConfig(learning_rate=5e-4, epochs=27),
     ),
     # Fast-DDPM "Fixed" lineage: AdamW 2e-5, grad clip 1.0, 40 epochs,
-    # linear β, non-uniform 10-step selection, batch 4, augment on
-    # (notebooks/FastDDPM_Training_Fixed.ipynb:cell3,cell9,cell11)
+    # non-uniform 10-step selection, batch 4, augment on.  NOTE: the
+    # scheduler the training loop ACTUALLY used (``scheduler_device``,
+    # Fixed:cell9) is COSINE β, even though cell5 displays a linear one.
     "fastddpm": _preset(
         "fastddpm",
         data=DataConfig(batch_size=4, augment=True),
         model=ModelConfig(
             name="fastddpm", in_channels=3, base_features=64, time_dim=128,
             num_timesteps=1000, num_inference_steps=10,
-            beta_schedule="linear", timestep_selection="nonuniform-4060",
+            beta_schedule="cosine", timestep_selection="nonuniform-4060",
         ),
         loss=LossConfig(kind="diffusion"),
         train=TrainConfig(
             learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0, epochs=40,
+        ),
+    ),
+    # base_ch=128 / time_dim=256 variant, cosine β, lr 2e-5, 20 epochs
+    # (FastDDPM_Training_cosine_sched.ipynb:cell3,cell8,cell10; 55.6 M params)
+    "fastddpm_cosine128": _preset(
+        "fastddpm_cosine128",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(
+            name="fastddpm", in_channels=3, base_features=128, time_dim=256,
+            num_timesteps=1000, num_inference_steps=10,
+            beta_schedule="cosine", timestep_selection="nonuniform-4060",
+        ),
+        loss=LossConfig(kind="diffusion"),
+        train=TrainConfig(
+            learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0, epochs=20,
+        ),
+    ),
+    # base_ch=128 variant, LINEAR β, lr 2e-4, 20 epochs
+    # ("FastDDPM_Training_increased channel.ipynb":cell3,cell8,cell10)
+    "fastddpm_large": _preset(
+        "fastddpm_large",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(
+            name="fastddpm", in_channels=3, base_features=128, time_dim=256,
+            num_timesteps=1000, num_inference_steps=10,
+            beta_schedule="linear", timestep_selection="nonuniform-4060",
+        ),
+        loss=LossConfig(kind="diffusion"),
+        train=TrainConfig(
+            learning_rate=2e-4, optimizer="adamw", grad_clip_norm=1.0, epochs=20,
         ),
     ),
 }

@@ -351,3 +351,13 @@ def test_pixel_shuffle_upconv_equals_convtranspose():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_fastddpm_128_param_count():
+    """base_ch=128 / time_dim=256 variant: 55,562,497 params
+    (cosine/inc-channel notebooks' cell8 output, SURVEY.md M11)."""
+    model = FastDDPMUNet(base_features=128, time_dim=256)
+    x = jnp.zeros((1, 32, 32, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, t)
+    assert param_count(variables["params"]) == 55_562_497
