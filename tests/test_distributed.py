@@ -168,3 +168,34 @@ def test_loader_with_sharding(tmp_path):
     b = next(iter(loader))
     assert b.shape == (8, HW, HW, 3)
     assert not b.sharding.is_fully_replicated
+
+
+def test_shard_map_collective_wrappers():
+    """psum_mean / all_gather_batch under shard_map on the CPU mesh."""
+    from jax import shard_map
+
+    from mrisr_tpu.parallel.mesh import all_gather_batch, psum_mean
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    x = jnp.arange(16.0).reshape(16, 1)  # 2 rows per device
+
+    @jax.jit
+    def mean_fn(x):
+        return shard_map(
+            lambda s: psum_mean(jnp.mean(s), "data"),
+            mesh=mesh, in_specs=P("data"), out_specs=P(),
+        )(x)
+
+    assert float(mean_fn(x)) == pytest.approx(float(jnp.mean(x)))
+
+    @jax.jit
+    def gather_fn(x):
+        return shard_map(
+            lambda s: all_gather_batch(s, "data"),
+            mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+        )(x)
+
+    g = gather_fn(x)
+    # every shard gathered the full batch -> output is (8*16, 1) tiled
+    assert g.shape == (16 * 8, 1)
+    np.testing.assert_allclose(np.asarray(g[:16]), np.asarray(x))
