@@ -233,6 +233,12 @@ def cmd_predict_volume(args):
             f"{name}: SSIM {m['ssim_mean']:.4f}±{m['ssim_std']:.3f} "
             f"PSNR {m['psnr_mean']:.2f}±{m['psnr_std']:.2f} MAE {m['mae']:.4f}"
         )
+        mp = res.get("metrics_predicted_only")
+        if mp is not None:
+            print(
+                f"  predicted slices only: SSIM {mp['ssim_mean']:.4f} "
+                f"PSNR {mp['psnr_mean']:.2f} MAE {mp['mae']:.4f}"
+            )
     if args.figure:
         path = parallel_views_figure(
             results, f"seed{args.seed}", save_path=args.figure,

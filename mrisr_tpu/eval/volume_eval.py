@@ -79,11 +79,16 @@ def predict_volume(
     predicted = work.copy()
     predicted[plan[:, 1]] = preds
     metrics = compute_metrics(work, predicted)
+    # V6 whole-volume metrics include UNTOUCHED slices, whose per-slice PSNR
+    # is inf (identical copies) — faithful to the reference but not useful;
+    # also report metrics restricted to the slices actually predicted.
+    metrics_pred = compute_metrics(work[plan[:, 1]], predicted[plan[:, 1]])
     return {
         "volume_original": work,
         "volume_predicted": predicted,
         "predicted_indices": plan[:, 1].tolist(),
         "metrics": metrics,
+        "metrics_predicted_only": metrics_pred,
     }
 
 
@@ -130,10 +135,16 @@ def predict_volume_progressive(
         predicted[i + 2] = p2[w]
         predicted[i + 3] = p3[w]
     metrics = compute_metrics(work, predicted)
+    changed = np.unique(
+        np.concatenate([plan[:, 0] + 1, plan[:, 0] + 2, plan[:, 0] + 3])
+    )
+    metrics_pred = compute_metrics(work[changed], predicted[changed])
     return {
         "volume_original": work,
         "volume_predicted": predicted,
+        "predicted_indices": changed.tolist(),
         "metrics": metrics,
+        "metrics_predicted_only": metrics_pred,
     }
 
 
@@ -171,10 +182,14 @@ def predict_volume_hierarchical(
     predicted[plan[:, 1]] = pred_i1  # ... then stage 2 ...
     predicted[plan[:, 3]] = pred_i3  # ... then stage 3 overwrites
     metrics = compute_metrics(work, predicted)
+    changed = np.unique(np.concatenate([plan[:, 1], plan[:, 2], plan[:, 3]]))
+    metrics_pred = compute_metrics(work[changed], predicted[changed])
     return {
         "volume_original": work,
         "volume_predicted": predicted,
+        "predicted_indices": changed.tolist(),
         "metrics": metrics,
+        "metrics_predicted_only": metrics_pred,
         "stage_predictions": {
             "i1": pred_i1, "i2": pred_i2, "i3": pred_i3,
         },

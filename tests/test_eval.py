@@ -181,3 +181,15 @@ def test_api_diffusion_models_sample(tmp_path):
     assert y2.shape == (1, 1, *HW)
     o = np.asarray(y2)
     assert o.min() >= -1.0 and o.max() <= 1.0  # DDIM clamp
+
+
+def test_predicted_only_metrics_finite(volume):
+    """Whole-volume PSNR can be inf (untouched slices identical — the V6
+    behavior); the predicted-only metrics must always be finite."""
+    res = predict_volume(_avg_predict, volume, batch_size=4, image_size=HW)
+    mp = res["metrics_predicted_only"]
+    assert np.isfinite(mp["psnr_mean"]) and np.isfinite(mp["ssim_mean"])
+    res = predict_volume_hierarchical(
+        _avg_predict, volume, batch_size=4, image_size=HW
+    )
+    assert np.isfinite(res["metrics_predicted_only"]["psnr_mean"])
