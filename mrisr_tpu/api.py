@@ -143,7 +143,12 @@ def load_model(
     orbax_path = os.path.join(models_dir, f"{name}_best")
     torch_path = os.path.join(models_dir, _TORCH_CKPT_FILES.get(name, ""))
 
-    if checkpoint and os.path.exists(checkpoint):
+    if checkpoint:
+        # an EXPLICIT path must exist — silently falling back to another
+        # checkpoint (or fresh weights) would report metrics for the wrong
+        # model on a simple typo
+        if not os.path.exists(checkpoint):
+            raise FileNotFoundError(f"checkpoint not found: {checkpoint}")
         variables = _load_any(name, checkpoint, variables)
     elif os.path.isdir(orbax_path):
         variables = _load_orbax(orbax_path, variables)
@@ -180,11 +185,10 @@ def load_model(
 def _load_orbax(path: str, template_variables: dict) -> dict:
     from mrisr_tpu.ckpt import restore_checkpoint
 
-    template = {
-        "params": template_variables["params"],
-        "batch_stats": template_variables.get("batch_stats", {}),
-    }
-    # trainer checkpoints hold extra fields; restore leniently
+    # restore WITHOUT a template: trainer checkpoints carry extra fields
+    # (opt_state, epoch, ...) that a params-only template would reject;
+    # Orbax's saved metadata reconstructs dtypes.
+    del template_variables
     restored = restore_checkpoint(path)
     out = {"params": restored["params"]}
     bs = restored.get("batch_stats")

@@ -131,8 +131,6 @@ def cmd_train(args):
         from mrisr_tpu.train import DiffusionTrainer
 
         trainer = DiffusionTrainer(cfg, image_size=hw)
-        if args.resume:
-            trainer.try_resume()
     else:
         perceptual_fn = None
         if cfg.loss.kind == "combined":
@@ -149,6 +147,8 @@ def cmd_train(args):
             trainer.enable_device_epochs(
                 train_loader.bank, train_loader.plan_flat
             )
+    if args.resume and trainer.try_resume():
+        print(f"resumed from epoch {trainer.start_epoch - 1}")
     hist = trainer.fit(train_loader, val_loader)
     print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
 
@@ -283,8 +283,8 @@ def cmd_compare(args):
     print("|" + "---|" * len(header))
     for r in rows:
         cells = [r[0]] + [
-            f"{v:.4f}" if i in (0, 2) else f"{v:.2f}"
-            for i, v in enumerate(r[1:]) if v is not None
+            ("n/a" if v is None else (f"{v:.4f}" if i in (0, 2) else f"{v:.2f}"))
+            for i, v in enumerate(r[1:])
         ]
         print("| " + " | ".join(cells) + " |")
 

@@ -41,7 +41,7 @@ class DataConfig:
     split_seed: int = 42
     test_val_fraction: float = 0.3
     test_within_fraction: float = 0.6
-    cache_volumes: bool = True
+    # background-thread prefetch depth for train loaders (0 disables)
     prefetch: int = 2
     # augmentation menu: reference used hflip/vflip (ModelDataGenerator.py:97-115),
     # rot90 for the progressive pipeline (ModelDataGenerator_ProgressiveUNet.py:200-215),

@@ -108,27 +108,41 @@ class _Reader:
         return self.p >= len(self.d)
 
 
-def _skip_undefined_sequence(r: _Reader) -> None:
-    """Skip an SQ/item region of undefined length until its delimiter."""
+def _skip_undefined_sequence(r: _Reader, explicit: bool) -> None:
+    """Skip an undefined-length SQ until its sequence delimiter.
+
+    ``depth`` counts OPEN undefined-length containers (the SQ itself, plus
+    any undefined-length items or nested SQs).  Item delimiters (FFFE,E00D)
+    close undefined items; the sequence delimiter (FFFE,E0DD) closes the SQ.
+    Defined-length items are skipped wholesale (their length covers all
+    nested content).  Elements inside undefined-length items follow the
+    DATASET's VR encoding, so ``explicit`` must match the file.
+    """
     depth = 1
     while depth > 0 and not r.eof():
         group = r.u16()
         elem = r.u16()
-        if (group, elem) == (0xFFFE, 0xE000):  # item
+        if (group, elem) == (0xFFFE, 0xE000):  # item start
             length = r.u32()
             if length == 0xFFFFFFFF:
                 depth += 1
             else:
                 r.raw(length)
         elif (group, elem) in ((0xFFFE, 0xE00D), (0xFFFE, 0xE0DD)):
-            r.u32()
-            if (group, elem) == (0xFFFE, 0xE0DD):
-                depth -= 1
+            r.u32()  # delimiter length field (always 0)
+            depth -= 1
         else:
-            # nested dataset element inside an item: re-parse conservatively
-            # as implicit VR (length always 4 bytes there)
-            length = r.u32()
-            if length == 0xFFFFFFFF:
+            # dataset element inside an undefined-length item
+            if explicit:
+                vr = r.raw(2)
+                if vr in _LONG_VRS:
+                    r.raw(2)
+                    length = r.u32()
+                else:
+                    length = r.u16()
+            else:
+                length = r.u32()
+            if length == 0xFFFFFFFF:  # nested undefined-length SQ
                 depth += 1
             else:
                 r.raw(length)
@@ -188,7 +202,7 @@ def parse_dicom_bytes(data: bytes, pixels: bool = True) -> DicomFile:
 
         if vr == b"SQ" or (length == 0xFFFFFFFF and tag != _PIXEL_DATA):
             if length == 0xFFFFFFFF:
-                _skip_undefined_sequence(r)
+                _skip_undefined_sequence(r, explicit=cur_explicit)
             else:
                 r.raw(length)
             continue
@@ -231,9 +245,14 @@ def parse_dicom_bytes(data: bytes, pixels: bool = True) -> DicomFile:
 # ------------------------------------------------------------------ writer
 
 
+# string VRs pad with space (0x20); UI and binary VRs pad with NUL
+_SPACE_PAD_VRS = {b"AE", b"AS", b"CS", b"DA", b"DS", b"DT", b"IS", b"LO",
+                  b"LT", b"PN", b"SH", b"ST", b"TM", b"UC", b"UR", b"UT"}
+
+
 def _el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr not in (b"UI",) else b"\x00"
+        value += b" " if vr in _SPACE_PAD_VRS else b"\x00"
     head = struct.pack("<HH", group, elem)
     if vr in _LONG_VRS:
         return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value

@@ -122,11 +122,13 @@ class _BaseLoader:
         drop_last: bool,
         augment: _AugmentSpec,
         sharding=None,
+        pad_final: str = "wrap",
     ):
         self.bank = bank
         self.plan_flat = plan_flat
         self.batch_size = batch_size
         self.shuffle = shuffle
+        self.pad_final = pad_final
         self.drop_last = drop_last
         self.augment = augment
         self.sharding = sharding
@@ -156,15 +158,21 @@ class _BaseLoader:
         for b in range(n_batches):
             idx = order[b * bs : (b + 1) * bs]
             if idx.shape[0] < bs and not self.drop_last:
-                # wrap-pad (tiling if the dataset is smaller than one batch)
-                # to keep shapes static under jit; callers that need
-                # exact-sample eval should use num_samples to mask the tail.
-                idx = np.concatenate(
-                    [idx, np.resize(order, bs - idx.shape[0])]
-                )
+                if self.pad_final == "partial":
+                    # yield the smaller final batch as-is — the reference's
+                    # DataLoader semantics (one extra jit shape, but batch
+                    # means average exactly as the reference's loops did)
+                    pass
+                else:
+                    # wrap-pad (tiling if the dataset is smaller than one
+                    # batch) keeps shapes static under jit; exact-sample
+                    # consumers mask the tail via num_samples.
+                    idx = np.concatenate(
+                        [idx, np.resize(order, bs - idx.shape[0])]
+                    )
             rows = self.plan_flat[idx]  # (B, C)
             stack = self.bank.gather(rows.reshape(-1)).reshape(
-                bs, c, *self.bank.image_size
+                idx.shape[0], c, *self.bank.image_size
             )
             batch = jnp.moveaxis(jnp.asarray(stack, jnp.float32), 1, -1)  # NHWC
             if self.sharding is not None:
@@ -200,6 +208,7 @@ class TripletLoader(_BaseLoader):
         drop_last: bool = False,
         augment: Optional[_AugmentSpec] = None,
         sharding=None,
+        pad_final: str = "wrap",
     ):
         index = TripletIndex(bank.counts, distance_filter=distance_filter)
         plan = index.slice_plan()  # (N, 5) [series_local, pre, mid, post, dist]
@@ -216,7 +225,7 @@ class TripletLoader(_BaseLoader):
         self.distances = plan[:, 4].copy()
         super().__init__(
             bank, flat, batch_size, shuffle, seed, drop_last,
-            augment or _AugmentSpec(), sharding,
+            augment or _AugmentSpec(), sharding, pad_final,
         )
 
 
@@ -238,6 +247,7 @@ class WindowLoader(_BaseLoader):
         drop_last: bool = False,
         augment: Optional[_AugmentSpec] = None,
         sharding=None,
+        pad_final: str = "wrap",
     ):
         index = WindowIndex(bank.counts)
         plan = index.slice_plan()  # (N, 6) [series_local, i..i+4]
@@ -246,7 +256,7 @@ class WindowLoader(_BaseLoader):
         )
         super().__init__(
             bank, flat, batch_size, shuffle, seed, drop_last,
-            augment or _AugmentSpec(), sharding,
+            augment or _AugmentSpec(), sharding, pad_final,
         )
 
 
@@ -263,6 +273,10 @@ class PrefetchIterator:
 
     def __len__(self):
         return len(self.loader)
+
+    def __getattr__(self, name):
+        # transparent proxy for loader attributes (bank, plan_flat, ...)
+        return getattr(self.loader, name)
 
     @property
     def num_samples(self):
@@ -336,8 +350,12 @@ def build_loader(
         rotate_degrees=cfg.rotate_degrees,
     )
     shuffle = split == "train"
+    # train keeps static shapes (wrap-pad); eval splits yield the true
+    # partial final batch so per-batch means average exactly as the
+    # reference's DataLoader loops did
+    pad_final = "wrap" if split == "train" else "partial"
     if kind == "triplet":
-        return TripletLoader(
+        loader = TripletLoader(
             bank,
             cfg.distance_filter,
             cfg.batch_size,
@@ -345,9 +363,10 @@ def build_loader(
             seed=seed,
             augment=aug,
             sharding=sharding,
+            pad_final=pad_final,
         )
     elif kind == "window":
-        return WindowLoader(
+        loader = WindowLoader(
             bank,
             cfg.batch_size,
             shuffle=shuffle,
@@ -355,5 +374,10 @@ def build_loader(
             drop_last=(split == "train"),
             augment=aug,
             sharding=sharding,
+            pad_final=pad_final,
         )
-    raise ValueError(f"unknown loader kind: {kind}")
+    else:
+        raise ValueError(f"unknown loader kind: {kind}")
+    if cfg.prefetch and split == "train":
+        return PrefetchIterator(loader, depth=cfg.prefetch)
+    return loader

@@ -156,15 +156,4 @@ class DiffusionTrainer(_EpochLoopMixin):
         self.best_loss = float(r["best_loss"])
         self.start_epoch = int(r["epoch"]) + 1
 
-    def try_resume(self) -> bool:
-        """Auto-resume from the newest per-epoch checkpoint (Fixed:cell9)."""
-        from mrisr_tpu.ckpt import get_latest_checkpoint
-
-        found = get_latest_checkpoint(
-            self.config.train.checkpoint_dir, self.config.preset
-        )
-        if found is None:
-            return False
-        path, _ = found
-        self.load(path)
-        return True
+    # try_resume inherited from _EpochLoopMixin (Fixed:cell9 semantics)

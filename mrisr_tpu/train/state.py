@@ -28,8 +28,17 @@ def make_optimizer(
     steps_per_epoch: Optional[int] = None,
 ) -> optax.GradientTransformation:
     lr = learning_rate if learning_rate is not None else cfg.learning_rate
-    if cfg.lr_schedule == "cosine" and steps_per_epoch:
-        lr = optax.cosine_decay_schedule(lr, cfg.epochs * steps_per_epoch)
+    if cfg.lr_schedule == "cosine":
+        if steps_per_epoch:
+            lr = optax.cosine_decay_schedule(lr, cfg.epochs * steps_per_epoch)
+        else:
+            import warnings
+
+            warnings.warn(
+                "lr_schedule='cosine' requires steps_per_epoch; "
+                "falling back to a constant learning rate",
+                stacklevel=2,
+            )
     if cfg.optimizer == "adamw":
         tx = optax.adamw(lr, weight_decay=cfg.weight_decay or 1e-2)
     elif cfg.optimizer == "adam":

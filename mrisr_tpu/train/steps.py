@@ -130,6 +130,10 @@ def make_diffusion_steps(
         pre, post, target = batch[..., 0:1], batch[..., 1:2], batch[..., 2:3]
         b = batch.shape[0]
         k_t, k_n = jax.random.split(key)
+        # NOTE: b // 2 + 1 then truncate-to-b reproduces the reference
+        # EXACTLY (Fixed:cell11) — for even b the last mirror is dropped,
+        # so not every sample is antithetic-paired; (b + 1) // 2 would be
+        # the "clean" pairing, but parity wins here.
         half = b // 2 + 1
         t_idx = jax.random.randint(k_t, (half,), 0, n_sel)
         t_idx = jnp.concatenate([t_idx, n_sel - t_idx - 1])[:b]

@@ -40,6 +40,25 @@ class _EpochLoopMixin:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{self.config.preset}_{suffix}")
 
+    def try_resume(self) -> bool:
+        """Resume from the newest ``<preset>_epoch_N`` checkpoint, falling
+        back to ``<preset>_latest`` (T7 auto-resume semantics, extended to
+        every trainer)."""
+        from mrisr_tpu.ckpt import get_latest_checkpoint
+
+        found = get_latest_checkpoint(
+            self.config.train.checkpoint_dir, self.config.preset
+        )
+        path = found[0] if found is not None else None
+        if path is None:
+            latest = self._ckpt_path("latest")
+            if os.path.isdir(latest):
+                path = latest
+        if path is None:
+            return False
+        self.load(path)
+        return True
+
     def fit(
         self,
         train_loader: Iterable,

@@ -190,3 +190,59 @@ def test_export_volume_roundtrip(tmp_path):
     c = np.corrcoef(vol.ravel(), back.ravel())[0, 1]
     assert c > 0.9999
     assert check_z_spacing(out) == pytest.approx(3.0)
+
+
+def test_undefined_length_sequence_skipping(tmp_path):
+    """Explicit-VR file with an undefined-length SQ containing an
+    undefined-length item with explicit-VR elements inside — the parser
+    must skip it and still find the tags after it (the real-world
+    Prostate-MRI header shape)."""
+    import struct
+
+    def el_explicit(group, elem, vr, value):
+        if len(value) % 2:
+            value += b"\x00"
+        head = struct.pack("<HH", group, elem)
+        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+            return head + vr + b"\x00\x00" + struct.pack("<I", len(value)) + value
+        return head + vr + struct.pack("<H", len(value)) + value
+
+    # inner elements of the item (explicit VR)
+    inner = el_explicit(0x0008, 0x1150, b"UI", b"1.2.840.10008.5.1.4.1.1.4")
+    inner += el_explicit(0x0008, 0x1155, b"UI", b"1.2.3.4.5.6.7")
+    # undefined-length item
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
+    item += struct.pack("<HHI", 0xFFFE, 0xE00D, 0)
+    # undefined-length SQ wrapping it
+    sq = struct.pack("<HH", 0x0008, 0x1140) + b"SQ" + b"\x00\x00"
+    sq += struct.pack("<I", 0xFFFFFFFF) + item
+    sq += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    body = el_explicit(0x0008, 0x0060, b"CS", b"MR")
+    body += sq  # the sequence sits BEFORE the geometry tags
+    body += el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", 3))
+    body += el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", 4))
+    body += el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += el_explicit(0x7FE0, 0x0010, b"OW", arr.astype("<u2").tobytes())
+
+    meta = el_explicit(0x0002, 0x0010, b"UI", EXPLICIT_VR_LE.encode())
+    data = (b"\x00" * 128 + b"DICM"
+            + el_explicit(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta)))
+            + meta + body)
+    d = parse_dicom_bytes(data)
+    assert d.modality == "MR"
+    assert int(d.get("Rows")) == 3 and int(d.get("Columns")) == 4
+    np.testing.assert_array_equal(d.pixel_array, arr.astype(np.float32))
+
+
+def test_string_vr_space_padding(tmp_path):
+    """Odd-length DS values must be space-padded per the standard."""
+    p = str(tmp_path / "pad.dcm")
+    write_dicom(p, np.zeros((2, 2), np.uint16),
+                image_position=(0.0, 0.0, 1.5))
+    raw = open(p, "rb").read()
+    # the DS value '0\\0\\1.5' is 7 bytes -> padded to 8 with a space
+    assert b"0\\0\\1.5 " in raw
+    d = parse_dicom_bytes(raw)
+    assert d.image_position == (0.0, 0.0, 1.5)

@@ -180,3 +180,23 @@ def test_early_stopping(store, tmp_path):
                        verbose=False)
     # val loss on all-zero batches quickly stops improving -> early stop
     assert len(hist.series["val_loss"]) < 10
+
+
+def test_supervised_try_resume(store, tmp_path):
+    from mrisr_tpu.train import SupervisedTrainer
+
+    cfg = _cfg("unet", tmp_path)
+    trainer = SupervisedTrainer(cfg, image_size=HW)
+    loader = build_loader(store, "train", cfg.data)
+    trainer.fit(loader, None, epochs=1, verbose=False)
+
+    fresh = SupervisedTrainer(cfg, image_size=HW)
+    assert fresh.try_resume()
+    assert fresh.start_epoch == 2
+
+    empty_cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, checkpoint_dir=str(tmp_path / "nothing")
+        )
+    )
+    assert not SupervisedTrainer(empty_cfg, image_size=HW).try_resume()
