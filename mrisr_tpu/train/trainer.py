@@ -57,7 +57,29 @@ class _EpochLoopMixin:
         if path is None:
             return False
         self.load(path)
+        self._restore_history()
         return True
+
+    def _restore_history(self) -> None:
+        """Reload prior epoch series from the run's history JSON so resumed
+        runs keep a continuous history (the reference stored history inside
+        its checkpoints, T7; here the results JSON is the source)."""
+        hist_path = os.path.join(
+            self.config.train.results_dir, f"{self.config.preset}_history.json"
+        )
+        if not os.path.exists(hist_path):
+            return
+        try:
+            with open(hist_path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        cutoff = getattr(self, "start_epoch", 1) - 1
+        epochs = prior.get("epoch", [])
+        keep = sum(1 for e in epochs if e <= cutoff)
+        for k, v in prior.items():
+            if isinstance(v, list) and v and isinstance(v[0], (int, float)):
+                self.history.series[k] = [float(x) for x in v[:keep]]
 
     def fit(
         self,

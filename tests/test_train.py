@@ -200,3 +200,19 @@ def test_supervised_try_resume(store, tmp_path):
         )
     )
     assert not SupervisedTrainer(empty_cfg, image_size=HW).try_resume()
+
+
+def test_resume_restores_history(store, tmp_path):
+    """Resumed runs continue the history series (T7 contract)."""
+    from mrisr_tpu.train import SupervisedTrainer
+
+    cfg = _cfg("unet", tmp_path)
+    t1 = SupervisedTrainer(cfg, image_size=HW)
+    loader = build_loader(store, "train", cfg.data)
+    t1.fit(loader, None, epochs=1, verbose=False)
+
+    t2 = SupervisedTrainer(cfg, image_size=HW)
+    assert t2.try_resume()
+    t2.fit(loader, None, epochs=2, verbose=False)
+    assert t2.history.series["epoch"] == [1.0, 2.0]
+    assert len(t2.history.series["train_loss"]) == 2
