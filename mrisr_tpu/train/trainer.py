@@ -94,7 +94,10 @@ class _EpochLoopMixin:
         patience_counter = 0
         start_epoch = getattr(self, "start_epoch", 1)
 
+        import time
+
         for epoch in range(start_epoch, epochs + 1):
+            t_epoch = time.perf_counter()
             train_metrics = self.run_epoch(train_loader, train=True, epoch=epoch)
             if val_loader is not None:
                 val_metrics = self.run_epoch(val_loader, train=False, epoch=epoch)
@@ -104,6 +107,8 @@ class _EpochLoopMixin:
                 epoch=epoch,
                 train_loss=train_metrics["loss"],
                 val_loss=val_metrics["loss"],
+                # wall-clock per epoch (the v3 notebook's epoch_times series)
+                epoch_time_s=time.perf_counter() - t_epoch,
             )
             for k, v in train_metrics.items():
                 if k != "loss":
