@@ -36,9 +36,13 @@ def _add_common_train_args(p):
 
 
 def _build_config(args, preset_name):
-    from mrisr_tpu.config import PRESETS
+    from mrisr_tpu.config import Config, PRESETS
 
-    cfg = PRESETS[preset_name]
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_dict(json.load(f))
+    else:
+        cfg = PRESETS[preset_name]
     data = dataclasses.replace(
         cfg.data,
         root=args.data,
@@ -374,6 +378,9 @@ def main(argv=None):
 
     q = sub.add_parser("train")
     q.add_argument("--preset", required=True, choices=sorted(_PRESETS))
+    q.add_argument("--config", default=None,
+                   help="JSON config file overriding the preset "
+                        "(see mrisr_tpu/configs/*.json)")
     q.add_argument(
         "--scan-epochs", action="store_true",
         help="run each train epoch as ONE on-device lax.scan "

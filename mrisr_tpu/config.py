@@ -133,13 +133,21 @@ class Config:
 
     @staticmethod
     def from_dict(d: dict) -> "Config":
+        def mk(cls, sub: dict):
+            # JSON round-trip turns tuples into lists; coerce them back
+            sub = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in sub.items()
+            }
+            return cls(**sub)
+
         return Config(
             preset=d.get("preset", "custom"),
-            data=DataConfig(**d.get("data", {})),
-            model=ModelConfig(**d.get("model", {})),
-            loss=LossConfig(**d.get("loss", {})),
-            train=TrainConfig(**d.get("train", {})),
-            mesh=MeshConfig(**d.get("mesh", {})),
+            data=mk(DataConfig, d.get("data", {})),
+            model=mk(ModelConfig, d.get("model", {})),
+            loss=mk(LossConfig, d.get("loss", {})),
+            train=mk(TrainConfig, d.get("train", {})),
+            mesh=mk(MeshConfig, d.get("mesh", {})),
         )
 
 

@@ -150,3 +150,17 @@ def test_cli_eval_fastddpm_sampling(tmp_path, capsys):
     out = capsys.readouterr().out
     metrics = json.loads(out[out.index("{"):])
     assert "3mm" in metrics and "6mm" in metrics
+
+
+def test_config_json_roundtrip():
+    """Every shipped preset JSON loads back into an equivalent Config."""
+    import glob
+
+    from mrisr_tpu.config import Config, PRESETS
+
+    files = sorted(glob.glob("mrisr_tpu/configs/*.json"))
+    assert len(files) == len(PRESETS)
+    for f in files:
+        name = os.path.splitext(os.path.basename(f))[0]
+        cfg = Config.from_dict(json.load(open(f)))
+        assert cfg == PRESETS[name]
