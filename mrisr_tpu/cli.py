@@ -135,6 +135,12 @@ def cmd_train(args):
         from mrisr_tpu.train import DiffusionTrainer
 
         trainer = DiffusionTrainer(cfg, image_size=hw)
+        if args.scan_epochs:
+            if args.backend != "device":
+                raise SystemExit("--scan-epochs requires --backend device")
+            trainer.enable_device_epochs(
+                train_loader.bank, train_loader.plan_flat
+            )
     else:
         perceptual_fn = None
         if cfg.loss.kind == "combined":

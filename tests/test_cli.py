@@ -164,3 +164,21 @@ def test_config_json_roundtrip():
         name = os.path.splitext(os.path.basename(f))[0]
         cfg = Config.from_dict(json.load(open(f)))
         assert cfg == PRESETS[name]
+
+
+def test_cli_train_fastddpm_scan_epochs(tmp_path, capsys):
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    cli.main(["synth", store_dir, "--patients", "8", "--slices", "8",
+              "--size", "32"])
+    capsys.readouterr()
+    cli.main([
+        "train", "--preset", "fastddpm", "--data", store_dir,
+        "--epochs", "1", "--batch-size", "8", "--image-size", "32",
+        "--features", "8", "--backend", "device", "--scan-epochs",
+        "--checkpoint-dir", str(tmp_path / "m"),
+        "--results-dir", str(tmp_path / "r"),
+    ])
+    out = capsys.readouterr().out
+    assert "best val loss" in out
