@@ -314,3 +314,91 @@ def test_fastddpm_converter_tree_matches_flax_init():
         variables["params"]
     ) == jax.tree_util.tree_structure(init_vars["params"])
     assert param_count(variables["params"]) == 13_899_905
+
+
+# ----------------------------------------------- DeepCNN / Progressive
+
+
+def _rand_torch_deepcnn_sd(rng, feat=64, in_ch=2, blocks=(2, 2, 2, 2)):
+    """Random torch state dict with the reference DeepCNN's parameter names
+    (`/root/reference/src/ModelLoader.py:309-377` module structure)."""
+    sd = {}
+
+    def conv(prefix, i, o, k, bias=False):
+        sd[f"{prefix}.weight"] = torch.tensor(
+            rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.1
+        )
+        if bias:
+            sd[f"{prefix}.bias"] = torch.tensor(
+                rng.standard_normal((o,)).astype(np.float32) * 0.1
+            )
+
+    def bn(prefix, c):
+        for suffix, val in (
+            ("weight", rng.standard_normal(c) * 0.1 + 1),
+            ("bias", rng.standard_normal(c) * 0.1),
+            ("running_mean", rng.standard_normal(c) * 0.1),
+            ("running_var", np.abs(rng.standard_normal(c)) + 0.5),
+        ):
+            sd[f"{prefix}.{suffix}"] = torch.tensor(val.astype(np.float32))
+
+    conv("conv1", in_ch, feat, 7)
+    bn("bn1", feat)
+    widths = [feat, feat * 2, feat * 4, feat * 8]
+    cin = feat
+    for li, (w, nb) in enumerate(zip(widths, blocks), start=1):
+        for b in range(nb):
+            p = f"layer{li}.{b}"
+            conv(f"{p}.conv1", cin if b == 0 else w, w, 3)
+            bn(f"{p}.bn1", w)
+            conv(f"{p}.conv2", w, w, 3)
+            bn(f"{p}.bn2", w)
+            if b == 0 and cin != w:
+                conv(f"{p}.downsample.0", cin, w, 1)
+                bn(f"{p}.downsample.1", w)
+        cin = w
+    conv("output_conv", feat * 8, 1, 1, bias=True)
+    return sd
+
+
+def test_deepcnn_converter_tree_matches_flax_init():
+    import jax
+
+    rng = np.random.default_rng(5)
+    sd = _rand_torch_deepcnn_sd(rng)
+    variables = convert_torch_checkpoint("deepcnn", sd)
+    _, init_vars, _ = init_model("deepcnn", image_size=(16, 16))
+    assert jax.tree_util.tree_structure(
+        variables["params"]
+    ) == jax.tree_util.tree_structure(init_vars["params"])
+    assert jax.tree_util.tree_structure(
+        variables["batch_stats"]
+    ) == jax.tree_util.tree_structure(init_vars["batch_stats"])
+    assert param_count(variables["params"]) == 11_173_889
+    # and the converted weights actually run
+    from mrisr_tpu.models import DeepCNN
+
+    y = DeepCNN().apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.zeros((1, 16, 16, 2)), train=False,
+    )
+    assert y.shape == (1, 16, 16, 1)
+
+
+def test_progressive_converter_tree_matches_flax_init():
+    import jax
+
+    rng = np.random.default_rng(6)
+    sd = {}
+    for stage in ("unet1", "unet2", "unet3"):
+        stage_sd = _rand_torch_unet_sd(rng, feat=64, bias=False)
+        # reference UNetStage names its head 'final', not 'final_conv'
+        stage_sd[f"final.weight"] = stage_sd.pop("final_conv.weight")
+        stage_sd[f"final.bias"] = stage_sd.pop("final_conv.bias")
+        sd.update({f"{stage}.{k}": v for k, v in stage_sd.items()})
+    variables = convert_torch_checkpoint("progressive_unet", sd)
+    _, init_vars, _ = init_model("progressive_unet", image_size=(16, 16))
+    assert jax.tree_util.tree_structure(
+        variables["params"]
+    ) == jax.tree_util.tree_structure(init_vars["params"])
+    assert param_count(variables["params"]) == 93_111_171
