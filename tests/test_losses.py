@@ -104,3 +104,40 @@ def test_progressive_loss_weights():
     )
     assert float(total) == pytest.approx(want, rel=1e-6)
     assert set(comps) == {"i1", "i2", "i3", "total"}
+
+
+def test_vgg16_torch_weight_conversion(tmp_path):
+    """torchvision-named VGG16 state dict -> npz -> perceptual fn uses it."""
+    import numpy as np
+
+    from mrisr_tpu.losses.vgg import (
+        VGG16Features,
+        convert_torch_vgg16,
+        load_vgg16_params,
+        make_perceptual_fn,
+    )
+
+    rng = np.random.default_rng(0)
+    plan = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+            (10, 128, 256), (12, 256, 256), (14, 256, 256)]
+    sd = {}
+    for ti, cin, cout in plan:
+        sd[f"features.{ti}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.05
+        sd[f"features.{ti}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    npz = str(tmp_path / "vgg16.npz")
+    convert_torch_vgg16(sd, npz)
+    variables = load_vgg16_params(npz)
+    # kernels landed as HWIO with the right shapes
+    assert variables["params"]["conv0"]["kernel"].shape == (3, 3, 3, 64)
+    assert variables["params"]["conv6"]["kernel"].shape == (3, 3, 256, 256)
+
+    perc_real = make_perceptual_fn(npz)
+    perc_fallback = make_perceptual_fn()  # seeded random init
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 1))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 1))
+    d_real = float(perc_real(x, y))
+    d_fb = float(perc_fallback(x, y))
+    assert d_real > 0 and d_fb > 0
+    assert d_real != pytest.approx(d_fb)  # genuinely different weights
