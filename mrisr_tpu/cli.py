@@ -276,7 +276,9 @@ def cmd_compare(args):
         model = load_model(name, models_dir=args.checkpoint_dir,
                            cfg=cfg.model, image_size=cfg.data.image_size)
         if model.kind == "window":
-            continue  # progressive handled by `eval --model progressive_unet`
+            print(f"(skipping {name}: per-stage metrics via "
+                  f"`eval --model {name}`)")
+            continue
         m = evaluate_pair_model_test_set(
             model.predict_nhwc, store, cfg.data,
             mode=args.metric_mode, max_batches=args.max_batches,
