@@ -10,6 +10,8 @@ Measurement notes (this matters on the axon TPU tunnel):
   does not reliably synchronize, so the timed region is a SINGLE compiled
   ``lax.scan`` of K data-dependent forwards ended by a scalar fetch — no
   per-call dispatch latency, no cacheable repeats, a real device sync.
+- batch sweep on v5e: 64 -> 1220, 128 -> 1569 (best), 192 -> 1476 slices/s,
+  256 -> OOM; default is 128.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +23,7 @@ import time
 
 
 def bench_unet_inference(
-    batch_size: int = 64,
+    batch_size: int = 128,
     image_size: int = 256,
     scan_len: int = 10,
     repeats: int = 2,
