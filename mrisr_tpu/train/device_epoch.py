@@ -56,6 +56,10 @@ class DeviceEpochRunner:
         self.plan = jax.device_put(jnp.asarray(plan_flat, jnp.int32))
         self.batch_size = batch_size
         self.steps_per_epoch = plan_flat.shape[0] // batch_size
+        assert self.steps_per_epoch > 0, (
+            f"batch_size {batch_size} exceeds the {plan_flat.shape[0]} "
+            "samples available — a zero-step scan would return NaN loss"
+        )
         self.augment = augment or _AugmentSpec()
         aug = self.augment
         n = int(plan_flat.shape[0])

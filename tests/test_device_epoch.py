@@ -113,3 +113,13 @@ def test_scan_epoch_diffusion(setup):
         losses.append(m["loss"])
     assert all(np.isfinite(losses))
     assert losses[1] < losses[0]
+
+
+def test_runner_rejects_oversized_batch(setup):
+    from mrisr_tpu.losses import mse
+    from mrisr_tpu.train.steps import make_supervised_steps
+
+    bank, loader = setup
+    ts, _ = make_supervised_steps(lambda p, t: (mse(p, t), {}), jit_steps=False)
+    with pytest.raises(AssertionError, match="exceeds"):
+        DeviceEpochRunner(bank, loader.plan_flat, ts, batch_size=10_000)
