@@ -147,6 +147,12 @@ class _EpochLoopMixin:
                     print(f"Early stopping after {epoch} epochs")
                 break
 
+        # flush in-flight async per-epoch saves so a resume immediately
+        # after fit() sees the newest epoch checkpoint
+        from mrisr_tpu.ckpt import wait_for_async_saves
+
+        wait_for_async_saves()
+
         self.best_loss = best_loss
         self.history.set(best_val_loss=best_loss)
         rd = self.config.train.results_dir
