@@ -429,7 +429,7 @@ def main(argv=None):
     q.set_defaults(fn=cmd_triplet_figure)
 
     q = sub.add_parser("bench")
-    q.add_argument("--batch-size", type=int, default=32)
+    q.add_argument("--batch-size", type=int, default=128)
     q.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,15 +46,18 @@ def _batched_apply(fn: Callable, inputs: np.ndarray, batch_size: int) -> np.ndar
     """Apply fn over (N, H, W, C) in fixed-size batches (wrap-pad the tail
     so jit sees one shape)."""
     n = inputs.shape[0]
-    outs = []
+    outs, keeps = [], []
     for start in range(0, n, batch_size):
         chunk = inputs[start : start + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad > 0:
             chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)], axis=0)
-        out = np.asarray(fn(jnp.asarray(chunk)))
-        outs.append(out[: batch_size - pad] if pad > 0 else out)
-    return np.concatenate(outs, axis=0)
+        outs.append(fn(jnp.asarray(chunk)))  # device array — no sync here
+        keeps.append(batch_size - pad)
+    outs = jax.device_get(outs)  # ONE bulk fetch (r1 verdict weak item 8)
+    return np.concatenate(
+        [np.asarray(o)[:k] for o, k in zip(outs, keeps)], axis=0
+    )
 
 
 def predict_volume(
@@ -112,20 +116,18 @@ def predict_volume_progressive(
     windows = np.stack([work[plan[:, j]] for j in range(5)], axis=-1)
 
     n = windows.shape[0]
-    p1s, p2s, p3s = [], [], []
+    raw, keeps = [], []
     for start in range(0, n, batch_size):
         chunk = windows[start : start + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad > 0:
             chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)], axis=0)
-        p1, p2, p3 = predict_fn(jnp.asarray(chunk))
-        keep = batch_size - pad
-        p1s.append(np.asarray(p1)[:keep, ..., 0])
-        p2s.append(np.asarray(p2)[:keep, ..., 0])
-        p3s.append(np.asarray(p3)[:keep, ..., 0])
-    p1 = np.concatenate(p1s)
-    p2 = np.concatenate(p2s)
-    p3 = np.concatenate(p3s)
+        raw.append(predict_fn(jnp.asarray(chunk)))  # device arrays
+        keeps.append(batch_size - pad)
+    raw = jax.device_get(raw)  # one bulk fetch
+    p1 = np.concatenate([np.asarray(t[0])[:k, ..., 0] for t, k in zip(raw, keeps)])
+    p2 = np.concatenate([np.asarray(t[1])[:k, ..., 0] for t, k in zip(raw, keeps)])
+    p3 = np.concatenate([np.asarray(t[2])[:k, ..., 0] for t, k in zip(raw, keeps)])
 
     predicted = work.copy()
     # ascending windows; later windows overwrite earlier (reference order)

@@ -14,7 +14,11 @@ def test_step_timer_rates():
     assert s["steps"] == 3
     assert s["elapsed_s"] >= 0.03
     assert 0 < s["steps_per_sec"] <= 100
-    assert s["items_per_sec"] == round(s["steps_per_sec"] * 4, 2)
+    # both fields are independently rounded to 2 decimals from a wall-clock
+    # rate — exact equality flakes (r1 verdict); allow rounding slack
+    import pytest
+
+    assert s["items_per_sec"] == pytest.approx(s["steps_per_sec"] * 4, abs=0.011)
     t.reset()
     assert t.steps == 0
 
