@@ -126,37 +126,31 @@ def cmd_train(args):
                               backend=args.backend)
 
     if cfg.loss.kind == "gan":
-        from mrisr_tpu.losses.vgg import make_perceptual_fn
+        from mrisr_tpu.losses.perceptual import make_perceptual_fn
         from mrisr_tpu.train import GANTrainer
 
-        trainer = GANTrainer(cfg, perceptual_fn=make_perceptual_fn(),
-                             image_size=hw)
+        trainer = GANTrainer(
+            cfg, perceptual_fn=make_perceptual_fn(cfg.loss.perceptual),
+            image_size=hw,
+        )
     elif cfg.loss.kind == "diffusion":
         from mrisr_tpu.train import DiffusionTrainer
 
         trainer = DiffusionTrainer(cfg, image_size=hw)
-        if args.scan_epochs:
-            if args.backend != "device":
-                raise SystemExit("--scan-epochs requires --backend device")
-            trainer.enable_device_epochs(
-                train_loader.bank, train_loader.plan_flat
-            )
     else:
         perceptual_fn = None
         if cfg.loss.kind == "combined":
-            from mrisr_tpu.losses.vgg import make_perceptual_fn
+            from mrisr_tpu.losses.perceptual import make_perceptual_fn
 
-            perceptual_fn = make_perceptual_fn()
+            perceptual_fn = make_perceptual_fn(cfg.loss.perceptual)
         from mrisr_tpu.train import SupervisedTrainer
 
         trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
                                     image_size=hw)
-        if args.scan_epochs:
-            if args.backend != "device":
-                raise SystemExit("--scan-epochs requires --backend device")
-            trainer.enable_device_epochs(
-                train_loader.bank, train_loader.plan_flat
-            )
+    if args.scan_epochs:
+        if args.backend != "device":
+            raise SystemExit("--scan-epochs requires --backend device")
+        trainer.enable_device_epochs(train_loader.bank, train_loader.plan_flat)
     if args.resume and trainer.try_resume():
         print(f"resumed from epoch {trainer.start_epoch - 1}")
     hist = trainer.fit(train_loader, val_loader)
@@ -276,8 +270,23 @@ def cmd_compare(args):
         model = load_model(name, models_dir=args.checkpoint_dir,
                            cfg=cfg.model, image_size=cfg.data.image_size)
         if model.kind == "window":
-            print(f"(skipping {name}: per-stage metrics via "
-                  f"`eval --model {name}`)")
+            # Progressive row (the reference README table has one,
+            # README.md:129): the i+1/i+3 stages predict across a 3 mm gap,
+            # the i+2 stage across 6 mm — map per-stage averages to the
+            # per-spacing columns accordingly.
+            from mrisr_tpu.eval.runner import evaluate_progressive_test_set
+
+            m = evaluate_progressive_test_set(
+                model.predict_nhwc, store, cfg.data,
+                mode=args.metric_mode, max_batches=args.max_batches,
+                backend=args.backend,
+            )
+            rows.append(
+                (name,
+                 (m["i1"]["ssim_mean"] + m["i3"]["ssim_mean"]) / 2,
+                 (m["i1"]["psnr_mean"] + m["i3"]["psnr_mean"]) / 2,
+                 m["i2"]["ssim_mean"], m["i2"]["psnr_mean"])
+            )
             continue
         m = evaluate_pair_model_test_set(
             model.predict_nhwc, store, cfg.data,
@@ -392,7 +401,7 @@ def main(argv=None):
     q.add_argument(
         "--scan-epochs", action="store_true",
         help="run each train epoch as ONE on-device lax.scan "
-             "(pair models, requires --backend device)",
+             "(all presets, requires --backend device)",
     )
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_train)

@@ -79,6 +79,10 @@ class LossConfig:
     """
 
     kind: str = "mse"                    # 'mse' | 'combined' | 'gan' | 'progressive' | 'diffusion'
+    # feature space of the perceptual term: 'auto' = real VGG16 when an npz
+    # of converted weights exists, else the fixed Gabor/LoG distance
+    # (losses/perceptual.py); 'vgg-random' is the explicit-only r1 fallback
+    perceptual: str = "auto"             # 'auto' | 'gabor' | 'vgg' | 'vgg-random'
     lambda_l1: float = 1.0
     lambda_perceptual: float = 0.1
     lambda_ssim: float = 0.1

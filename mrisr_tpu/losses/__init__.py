@@ -17,6 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from mrisr_tpu.ops.ssim import ssim_loss  # noqa: F401  (re-export)
+from mrisr_tpu.losses.perceptual import (  # noqa: F401  (re-export)
+    make_gabor_perceptual_fn,
+    make_perceptual_fn,
+)
 
 
 def mse(pred: jax.Array, target: jax.Array) -> jax.Array:

@@ -12,10 +12,11 @@ histories, λ_perceptual = 0.1) and the README names "VGG perceptual loss"
 - Pretrained weights load from an ``.npz`` (``MRISR_VGG16_NPZ`` env var or
   explicit path) of HWIO arrays ``conv{i}_kernel`` / ``conv{i}_bias``; a
   converter from a torchvision state dict is provided
-  (:func:`convert_torch_vgg16`).  With no weights available (this image has
-  no network egress), a FIXED seeded random init is used — random VGG
-  features are a known-usable perceptual distance; swap in real weights for
-  metric parity with the reference.
+  (:func:`convert_torch_vgg16`).  With no weights available, this module's
+  fallback is a FIXED seeded random init — but since round 2 that fallback
+  is EXPLICIT-ONLY (``losses/perceptual.py: make_perceptual_fn`` kind
+  'vgg-random'); the default perceptual distance without weights is the
+  principled Gabor/LoG bank in losses/perceptual.py.
 - Distance: L1 over features (magnitudes match the reference's logged
   ``perc`` ≈ 0.18 scale).
 """

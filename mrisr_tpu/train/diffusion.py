@@ -95,8 +95,8 @@ class DiffusionTrainer(_EpochLoopMixin):
     def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
         if train and self._device_runner is not None:
             key = jax.random.fold_in(self.key, epoch)
-            self.state, loss = self._device_runner.run_epoch(self.state, key)
-            return {"loss": float(loss)}
+            self.state, metrics = self._device_runner.run_epoch(self.state, key)
+            return {k: float(v) for k, v in metrics.items()}
         acc: Dict[str, float] = {}
         n = 0
         base = jax.random.fold_in(self.key, epoch * 2 + (0 if train else 1))

@@ -58,16 +58,51 @@ class GANTrainer(_EpochLoopMixin):
 
             self.g_state = jax.device_put(self.g_state, replicated(mesh))
             self.d_state = jax.device_put(self.d_state, replicated(mesh))
-        self.train_step, self.eval_step = make_gan_steps(
+        step_kwargs = dict(
             perceptual_fn=perceptual_fn,
             lambda_l1=config.loss.lambda_l1,
             lambda_perceptual=config.loss.lambda_perceptual,
             lambda_adversarial=config.loss.lambda_adversarial,
-            donate=config.train.donate_batch,
         )
+        self.train_step, self.eval_step = make_gan_steps(
+            donate=config.train.donate_batch, **step_kwargs
+        )
+        self._raw_train_step, _ = make_gan_steps(
+            jit_steps=False, **step_kwargs
+        )
+        self._device_runner = None
         self.history = TrainingHistory(json.loads(config.to_json()))
 
+    def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
+        """Train epochs as one on-device lax.scan; the carry holds BOTH
+        TrainStates (G, D) — train/device_epoch.py multi_state mode."""
+        from mrisr_tpu.data.pipeline import _AugmentSpec
+        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
+
+        self._device_runner = DeviceEpochRunner(
+            bank, plan_flat, self._raw_train_step,
+            batch_size=self.config.data.batch_size,
+            augment=augment or _AugmentSpec(
+                enabled=self.config.data.augment,
+                hflip=self.config.data.hflip,
+                vflip=self.config.data.vflip,
+                rot90=self.config.data.rot90,
+                rotate_degrees=self.config.data.rotate_degrees,
+            ),
+            multi_state=True,
+        )
+
     def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
+        if train and self._device_runner is not None:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.config.train.seed), epoch
+            )
+            (self.g_state, self.d_state), metrics = (
+                self._device_runner.run_epoch((self.g_state, self.d_state), key)
+            )
+            out = {k: float(v) for k, v in metrics.items()}
+            out["loss"] = out.get("g", 0.0)
+            return out
         acc: Dict[str, float] = {}
         n = 0
         for batch in loader:

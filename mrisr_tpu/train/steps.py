@@ -82,7 +82,7 @@ def make_supervised_steps(
 
 
 def make_progressive_steps(
-    loss_fn: Callable, donate: bool = True
+    loss_fn: Callable, donate: bool = True, jit_steps: bool = True
 ):
     """Steps for the 3-stage Progressive UNet: batch (B, H, W, 5)."""
 
@@ -105,6 +105,8 @@ def make_progressive_steps(
         loss, comps = loss_fn(preds, batch)
         return {"loss": loss, **comps}
 
+    if not jit_steps:
+        return train_step, eval_step
     donate_args = (0,) if donate else ()
     return (
         jax.jit(train_step, donate_argnums=donate_args),
@@ -180,6 +182,7 @@ def make_gan_steps(
     lambda_perceptual: float = 0.1,
     lambda_adversarial: float = 0.01,
     donate: bool = True,
+    jit_steps: bool = True,
 ):
     """LSGAN alternating updates, one fused step (T3 semantics:
     λ = 1.0 / 0.1 / 0.01, per-loss histories g/d/l1/perc/adv as in
@@ -273,6 +276,8 @@ def make_gan_steps(
         comps["g_loss"] = total
         return comps
 
+    if not jit_steps:
+        return train_step, eval_step
     donate_args = (0, 1) if donate else ()
     return (
         jax.jit(train_step, donate_argnums=donate_args),

@@ -204,6 +204,9 @@ class SupervisedTrainer(_EpochLoopMixin):
             self.train_step, self.eval_step = make_progressive_steps(
                 loss_fn, donate=config.train.donate_batch
             )
+            self._raw_train_step, _ = make_progressive_steps(
+                loss_fn, jit_steps=False
+            )
         else:
             if loss_kind == "combined":
                 loss_fn = lambda pred, target: combined_loss(  # noqa: E731
@@ -228,8 +231,8 @@ class SupervisedTrainer(_EpochLoopMixin):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(self.config.train.seed), epoch
             )
-            self.state, loss = self._device_runner.run_epoch(self.state, key)
-            return {"loss": float(loss)}
+            self.state, metrics = self._device_runner.run_epoch(self.state, key)
+            return {k: float(v) for k, v in metrics.items()}
         acc: Dict[str, float] = {}
         n = 0
         for batch in loader:
@@ -246,12 +249,11 @@ class SupervisedTrainer(_EpochLoopMixin):
     def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
         """Switch TRAIN epochs to the device-resident lax.scan runner
         (train/device_epoch.py): bank must be a device-backend SliceBank and
-        ``plan_flat`` the loader's (N, 3) flat slice plan.  Validation still
-        uses the regular loader path.  Pair-kind models only."""
+        ``plan_flat`` the loader's (N, 3) pair / (N, 5) window flat slice
+        plan.  Validation still uses the regular loader path."""
         from mrisr_tpu.data.pipeline import _AugmentSpec
         from mrisr_tpu.train.device_epoch import DeviceEpochRunner
 
-        assert self.kind == "pair", "scan epochs support pair models only"
         self._device_runner = DeviceEpochRunner(
             bank, plan_flat, self._raw_train_step,
             batch_size=self.config.data.batch_size,

