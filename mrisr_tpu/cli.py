@@ -244,10 +244,20 @@ def cmd_predict_volume(args):
                 f"PSNR {mp['psnr_mean']:.2f} MAE {mp['mae']:.4f}"
             )
     if args.figure:
-        path = parallel_views_figure(
-            results, f"seed{args.seed}", save_path=args.figure,
-            sagittal_x=hw[1] // 2,
-        )
+        if args.view == "parallel":
+            path = parallel_views_figure(
+                results, f"seed{args.seed}", save_path=args.figure,
+                sagittal_x=hw[1] // 2,
+            )
+        else:
+            # V8 single-view comparison (reference defaults X=128 / Z=30,
+            # VolumeVisualization.py:1042-1271)
+            from mrisr_tpu.eval.figures import single_view_figure
+
+            path = single_view_figure(
+                results, view=args.view, index=args.view_index,
+                patient_name=f"seed{args.seed}", save_path=args.figure,
+            )
         print(f"figure -> {path}")
 
 
@@ -419,6 +429,13 @@ def main(argv=None):
     q.add_argument("--seed", type=int, default=42)
     q.add_argument("--hierarchical", action="store_true")
     q.add_argument("--figure", default=None)
+    q.add_argument("--view", default="parallel",
+                   choices=("parallel", "sagittal", "axial"),
+                   help="figure layout: 3-row parallel views (V7) or the "
+                        "V8 single-view all-models row")
+    q.add_argument("--view-index", type=int, default=None,
+                   help="sagittal X / axial Z index (default: mid-volume; "
+                        "reference used X=128 / Z=30)")
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_predict_volume)
 

@@ -78,6 +78,56 @@ def parallel_views_figure(
     return save_path
 
 
+def single_view_figure(
+    results: Dict[str, Dict],
+    view: str = "sagittal",
+    index: Optional[int] = None,
+    patient_name: str = "",
+    save_path: Optional[str] = None,
+):
+    """All-model single-view side-by-side comparison — the V8 figure shape
+    (`/root/reference/src/VolumeVisualization.py:1042-1271`): ONE chosen
+    view (sagittal X, reference default 128, or axial Z, reference default
+    30) as a single row [Original] + one panel per model (incl. FastDDPM),
+    each annotated with its volume SSIM/PSNR."""
+    plt = _plt()
+    names = list(results)
+    orig = results[names[0]]["volume_original"]
+    if view == "sagittal":
+        index = orig.shape[2] // 2 if index is None else index
+        pick = lambda vol: vol[:, :, index]  # noqa: E731
+    elif view == "axial":
+        index = orig.shape[0] // 2 if index is None else index
+        pick = lambda vol: vol[index]  # noqa: E731
+    else:
+        raise ValueError(f"view must be 'sagittal' or 'axial', got {view!r}")
+
+    ncols = len(names) + 1
+    fig, axes = plt.subplots(1, ncols, figsize=(4 * ncols, 4.5))
+    axes = np.atleast_1d(axes)
+    axes[0].imshow(_norm01(pick(orig)), cmap="gray", aspect="auto")
+    axes[0].set_title(f"Original ({view} {index})", fontsize=10)
+    axes[0].axis("off")
+    for c, name in enumerate(names, start=1):
+        res = results[name]
+        m = res["metrics"]
+        axes[c].imshow(
+            _norm01(pick(res["volume_predicted"])), cmap="gray", aspect="auto"
+        )
+        axes[c].set_title(
+            f"{name}\nSSIM {m['ssim_mean']:.4f} PSNR {m['psnr_mean']:.2f}",
+            fontsize=10,
+        )
+        axes[c].axis("off")
+    fig.suptitle(f"Model comparison {patient_name} ({view})", fontsize=14)
+    fig.tight_layout()
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return save_path
+
+
 def volume_views_figure(
     volume: np.ndarray,
     save_path: Optional[str] = None,

@@ -134,6 +134,27 @@ def test_figures_render(tmp_path, volume):
     assert p2 and (tmp_path / "trip.png").exists()
 
 
+def test_single_view_figure(tmp_path, volume):
+    """V8 single-view all-models row (sagittal X / axial Z selection)."""
+    from mrisr_tpu.eval.figures import single_view_figure
+
+    res = predict_volume(_avg_predict, volume, batch_size=4, image_size=HW)
+    results = {"avg": res, "avg2": res}
+    p = single_view_figure(
+        results, view="sagittal", index=16,
+        save_path=str(tmp_path / "sv_sag.png"),
+    )
+    assert p and (tmp_path / "sv_sag.png").exists()
+    p = single_view_figure(
+        results, view="axial", save_path=str(tmp_path / "sv_ax.png"),
+    )
+    assert p and (tmp_path / "sv_ax.png").exists()
+    import pytest
+
+    with pytest.raises(ValueError, match="view"):
+        single_view_figure(results, view="coronal")
+
+
 def test_api_loaded_model_contract(tmp_path):
     """NCHW contract: (B, 2, H, W) -> (B, 1, H, W) (BASELINE.json)."""
     from mrisr_tpu.api import load_model
