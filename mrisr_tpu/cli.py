@@ -33,6 +33,10 @@ def _add_common_train_args(p):
     p.add_argument("--backend", default="host", choices=("host", "device"))
     p.add_argument("--features", type=int, default=None,
                    help="base feature width override (default 64)")
+    p.add_argument("--allow-fresh", action="store_true",
+                   help="permit eval/predict with freshly initialized "
+                        "weights when no checkpoint exists (default: the "
+                        "CLI refuses — random-weight metrics are noise)")
 
 
 def _build_config(args, preset_name):
@@ -167,7 +171,8 @@ def cmd_eval(args):
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     model = load_model(args.model, models_dir=args.checkpoint_dir,
-                       cfg=cfg.model, image_size=hw)
+                       cfg=cfg.model, image_size=hw,
+                       checkpoint=None if args.allow_fresh else "required")
     out = os.path.join(args.results_dir, f"{args.model}_test_metrics.json")
     if model.kind == "window":
         from mrisr_tpu.eval.runner import evaluate_progressive_test_set
@@ -220,7 +225,8 @@ def cmd_predict_volume(args):
     results = {}
     for name in args.model:
         model = load_model(name, models_dir=args.checkpoint_dir,
-                           cfg=cfg.model, image_size=hw)
+                           cfg=cfg.model, image_size=hw,
+                           checkpoint=None if args.allow_fresh else "required")
         if model.kind == "window":
             res = predict_volume_progressive(
                 model.predict_nhwc, volume, image_size=hw
@@ -278,7 +284,8 @@ def cmd_compare(args):
     for name in args.model:
         cfg = _build_config(args, name if name in PRESETS else "unet")
         model = load_model(name, models_dir=args.checkpoint_dir,
-                           cfg=cfg.model, image_size=cfg.data.image_size)
+                           cfg=cfg.model, image_size=cfg.data.image_size,
+                           checkpoint=None if args.allow_fresh else "required")
         if model.kind == "window":
             # Progressive row (the reference README table has one,
             # README.md:129): the i+1/i+3 stages predict across a 3 mm gap,
@@ -359,7 +366,8 @@ def cmd_triplet_figure(args):
     preds = {}
     for name in args.model:
         model = load_model(name, models_dir=args.checkpoint_dir,
-                           cfg=cfg.model, image_size=hw)
+                           cfg=cfg.model, image_size=hw,
+                           checkpoint=None if args.allow_fresh else "required")
         x = jnp.stack([jnp.asarray(pre), jnp.asarray(post)], axis=-1)[None]
         preds[name] = np.asarray(model.predict_nhwc(x))[0, ..., 0]
     path = triplet_grid_figure(pre, post, gt, preds, save_path=args.figure)

@@ -49,7 +49,7 @@ def test_cli_predict_volume(tmp_path, capsys):
     capsys.readouterr()
     fig = str(tmp_path / "cmp.png")
     cli.main([
-        "predict-volume", "--model", "unet", "--data", store_dir,
+        "predict-volume", "--model", "unet", "--data", store_dir, "--allow-fresh",
         "--image-size", "32", "--checkpoint-dir", str(tmp_path / "nomodels"),
         "--figure", fig,
     ])
@@ -67,7 +67,7 @@ def test_cli_triplet_figure(tmp_path, capsys):
     capsys.readouterr()
     fig = str(tmp_path / "trip.png")
     cli.main([
-        "triplet-figure", "--model", "unet", "--data", store_dir,
+        "triplet-figure", "--model", "unet", "--data", store_dir, "--allow-fresh",
         "--image-size", "32", "--checkpoint-dir", str(tmp_path / "none"),
         "--figure", fig,
     ])
@@ -82,7 +82,7 @@ def test_cli_eval_progressive(tmp_path, capsys):
               "--size", "32"])
     capsys.readouterr()
     cli.main([
-        "eval", "--model", "progressive_unet", "--data", store_dir,
+        "eval", "--model", "progressive_unet", "--data", store_dir, "--allow-fresh",
         "--image-size", "32", "--checkpoint-dir", str(tmp_path / "none"),
         "--results-dir", str(tmp_path / "res"), "--max-batches", "2",
     ])
@@ -122,7 +122,7 @@ def test_cli_compare_table(tmp_path, capsys):
               "--size", "32"])
     capsys.readouterr()
     cli.main([
-        "compare", "--model", "unet", "deepcnn", "--data", store_dir,
+        "compare", "--model", "unet", "deepcnn", "--data", store_dir, "--allow-fresh",
         "--image-size", "32", "--features", "8",
         "--checkpoint-dir", str(tmp_path / "none"),
         "--results-dir", str(tmp_path / "res"), "--max-batches", "2",
@@ -142,7 +142,7 @@ def test_cli_eval_fastddpm_sampling(tmp_path, capsys):
               "--size", "32"])
     capsys.readouterr()
     cli.main([
-        "eval", "--model", "fastddpm", "--data", store_dir,
+        "eval", "--model", "fastddpm", "--data", store_dir, "--allow-fresh",
         "--image-size", "32", "--features", "8", "--batch-size", "4",
         "--checkpoint-dir", str(tmp_path / "none"),
         "--results-dir", str(tmp_path / "res"), "--max-batches", "1",
@@ -182,3 +182,23 @@ def test_cli_train_fastddpm_scan_epochs(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "best val loss" in out
+
+
+def test_eval_refuses_fresh_weights(tmp_path):
+    """CLI eval without a checkpoint must fail loudly, not score random
+    weights (a fresh model silently produced metrics in the r2 demo runs)."""
+    import pytest
+
+    from mrisr_tpu import cli
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+
+    store = str(tmp_path / "store")
+    make_synthetic_store(store, num_patients=4, slices_per_volume=8,
+                         height=32, width=32)
+    with pytest.raises(FileNotFoundError, match="Checkpoint not found"):
+        cli.main([
+            "eval", "--model", "deepcnn", "--data", store,
+            "--image-size", "32", "--features", "8",
+            "--checkpoint-dir", str(tmp_path / "nonexistent"),
+            "--results-dir", str(tmp_path / "results"),
+        ])
