@@ -60,6 +60,7 @@ def bench_unet_inference(
     image_size: int = 256,
     scan_len: int = 10,
     repeats: int = 2,
+    quant: str = "none",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -72,15 +73,36 @@ def bench_unet_inference(
     model = UNet(features=64, dtype=jnp.bfloat16)
     x = jnp.zeros((batch_size, image_size, image_size, 2), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    variables = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables,
-    )
+
+    if quant == "int8":
+        # opt-in int8 MXU serving path (serve/quant.py): BN-folded weights
+        # quantized per-channel, activations per-layer; accuracy cost is
+        # measured separately (results_demo/README.md)
+        from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
+        from mrisr_tpu.serve import (
+            calibrate_unet, quantize_unet, unet_int8_apply,
+        )
+
+        folded = fold_unet_batchnorm(
+            variables["params"], variables["batch_stats"]
+        )
+        calib_x = jax.random.normal(
+            jax.random.PRNGKey(2), (8, image_size, image_size, 2), jnp.float32
+        )
+        qparams = quantize_unet(folded, calibrate_unet(folded, [calib_x]))
+        variables = qparams
+        apply_fn = lambda v, b: unet_int8_apply(v, b)  # noqa: E731
+    else:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables,
+        )
+        apply_fn = lambda v, b: model.apply(v, b, train=False)  # noqa: E731
 
     @jax.jit
     def loop(variables, x):
         def body(carry, _):
-            y = model.apply(variables, carry, train=False)  # (B, H, W, 1)
+            y = apply_fn(variables, carry)  # (B, H, W, 1)
             # feed prediction back as both input channels: data dependency
             nxt = jnp.concatenate([y, carry[..., :1] * 0.5 + y * 0.5], axis=-1)
             return nxt, ()
@@ -108,7 +130,12 @@ def bench_unet_inference(
         "unit": f"{image_size}x{image_size} slices/s",
         "vs_baseline": round(slices_per_sec / 5000.0, 4),
     }
+    if quant != "none":
+        result["quant"] = quant
     if gflops_per_slice is not None:
+        # int8 programs report conv flops on the same 2xMAC convention, so
+        # MFU stays against the bf16 peak: >1.0 means the int8 path passed
+        # the bf16 roofline
         achieved_tflops = slices_per_sec * gflops_per_slice / 1e3
         result["gflops_per_slice"] = round(gflops_per_slice, 1)
         result["achieved_tflops"] = round(achieved_tflops, 1)
@@ -123,10 +150,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--scan-len", type=int, default=10)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--quant", default="none", choices=("none", "int8"))
     args = p.parse_args()
     result = bench_unet_inference(
         batch_size=args.batch_size, scan_len=args.scan_len,
-        repeats=args.repeats,
+        repeats=args.repeats, quant=args.quant,
     )
     print(json.dumps(result))
 

@@ -190,6 +190,11 @@ def _load_orbax(path: str, template_variables: dict) -> dict:
     # Orbax's saved metadata reconstructs dtypes.
     del template_variables
     restored = restore_checkpoint(path)
+    if "generator" in restored:
+        # GANTrainer layout ({generator: {...}, discriminator: {...}}) —
+        # inference loads the generator, mirroring the reference's
+        # `generator_state_dict` convention (V5, ModelLoader.py:693-705)
+        restored = restored["generator"]
     out = {"params": restored["params"]}
     bs = restored.get("batch_stats")
     if bs:

@@ -1,0 +1,73 @@
+"""int8 serving-path quantization (serve/quant.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
+from mrisr_tpu.models import UNet
+from mrisr_tpu.serve import calibrate_unet, quantize_unet, unet_int8_apply
+from mrisr_tpu.serve.quant import _unet_float_with_stats
+
+HW = 32
+F = 8
+
+
+@pytest.fixture(scope="module")
+def folded():
+    model = UNet(features=F)
+    x = jnp.zeros((1, HW, HW, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return fold_unet_batchnorm(
+        variables["params"], variables["batch_stats"]
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return jax.random.normal(jax.random.PRNGKey(7), (4, HW, HW, 2))
+
+
+def test_float_forward_matches_flax(folded, batch):
+    """The explicit serving forward must equal UNet(use_bn=False).apply —
+    it is the calibration reference."""
+    model = UNet(features=F, use_bn=False)
+    ref = model.apply(folded, batch, train=False)
+    got, stats = _unet_float_with_stats(
+        folded["params"], batch, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # one absmax per conv of the 9 double-conv blocks
+    assert len(stats) == 18
+    assert all(float(v) > 0 for v in stats.values())
+
+
+def test_int8_close_to_float(folded, batch):
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q = quantize_unet(folded, calib)
+    y_fp = UNet(features=F, use_bn=False).apply(folded, batch, train=False)
+    y_q = jax.jit(lambda p, x: unet_int8_apply(p, x, dtype=jnp.float32))(
+        q, batch
+    )
+    assert y_q.shape == y_fp.shape
+    y_fp, y_q = np.asarray(y_fp), np.asarray(y_q)
+    assert np.isfinite(y_q).all()
+    rel = np.linalg.norm(y_q - y_fp) / (np.linalg.norm(y_fp) + 1e-12)
+    # 8-bit weights+activations through 18 convs: a few percent is expected,
+    # an order more means the scales are wrong
+    assert rel < 0.15, rel
+
+
+def test_int8_weight_tables(folded, batch):
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q = quantize_unet(folded, calib)
+    c0 = q["enc1"]["Conv_0"]
+    assert c0["w_int8"].dtype == jnp.int8
+    assert int(jnp.max(jnp.abs(c0["w_int8"]))) == 127  # absmax maps to 127
+    assert c0["scale"].shape == (F,)
+    # upconv/final stayed float
+    assert q["final"]["kernel"].dtype == jnp.bfloat16
