@@ -1,0 +1,91 @@
+"""Measure the accuracy cost of the int8 serving path (serve/quant.py).
+
+Loads the demo UNet checkpoint, evaluates the bf16 (BN-folded) forward and
+the int8 forward on the same test split, and reports per-spacing SSIM/PSNR
+for both plus the deltas — the number BASELINE.md's roofline section points
+at next to the 2,246 slices/s int8 speed.
+
+Usage:
+  python benchmarks/int8_accuracy.py --data /tmp/demo/store \
+      --models /tmp/demo/models [--out results_demo/int8_accuracy.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+# Repo-root import without PYTHONPATH (PYTHONPATH breaks the axon plugin).
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--models", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--max-batches", type=int, default=None)
+    args = p.parse_args()
+
+    import jax
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.config import DataConfig
+    from mrisr_tpu.data.pipeline import build_loader
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
+    from mrisr_tpu.serve import calibrate_unet, quantize_unet, unet_int8_apply
+
+    store = VolumeStore.open(args.data)
+    data_cfg = DataConfig(root=args.data, batch_size=32, augment=False)
+
+    loaded = load_model(
+        "unet", models_dir=args.models, checkpoint="required", fold_bn=True
+    )
+    folded = loaded.variables
+
+    # calibration: a few val batches (absmax per conv input)
+    import dataclasses
+
+    val_cfg = dataclasses.replace(data_cfg, augment=False)
+    val_loader = build_loader(store, "val", val_cfg)
+    calib_batches = []
+    for i, batch in enumerate(val_loader):
+        if i >= 4:
+            break
+        calib_batches.append(batch[..., :2])
+    qparams = quantize_unet(folded, calibrate_unet(folded, calib_batches))
+
+    bf16_fn = loaded.predict_nhwc
+    int8_fn = jax.jit(lambda x: unet_int8_apply(qparams, x))
+
+    results = {}
+    for label, fn in (("bf16", bf16_fn), ("int8", int8_fn)):
+        results[label] = evaluate_pair_model_test_set(
+            fn, store, data_cfg, max_batches=args.max_batches
+        )
+    deltas = {}
+    for sp in ("3mm", "6mm"):
+        if sp in results["bf16"] and sp in results["int8"]:
+            deltas[sp] = {
+                "ssim_delta": round(
+                    results["int8"][sp]["ssim_mean"]
+                    - results["bf16"][sp]["ssim_mean"], 6
+                ),
+                "psnr_delta_db": round(
+                    results["int8"][sp]["psnr_mean"]
+                    - results["bf16"][sp]["psnr_mean"], 4
+                ),
+            }
+    out = {"bf16": results["bf16"], "int8": results["int8"], "delta": deltas}
+    print(json.dumps(out, indent=2))
+    if args.out:
+        pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
