@@ -378,7 +378,8 @@ def cmd_bench(args):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
     from bench import bench_unet_inference
 
-    print(json.dumps(bench_unet_inference(batch_size=args.batch_size)))
+    print(json.dumps(bench_unet_inference(
+        batch_size=args.batch_size, quant=args.quant)))
 
 
 def main(argv=None):
@@ -464,6 +465,7 @@ def main(argv=None):
 
     q = sub.add_parser("bench")
     q.add_argument("--batch-size", type=int, default=128)
+    q.add_argument("--quant", default="none", choices=("none", "int8"))
     q.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

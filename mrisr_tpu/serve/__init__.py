@@ -1,7 +1,12 @@
-"""Serving-path optimizations: BN folding lives in ckpt/fold_bn.py; this
-package adds post-training int8 quantization for the MXU's double-rate
-int8 path (quant.py)."""
+"""Serving layer: BN folding lives in ckpt/fold_bn.py; this package adds
+post-training int8 quantization for the MXU's double-rate int8 path
+(quant.py) and the micro-batching inference runtime (engine.py)."""
 
+from mrisr_tpu.serve.engine import (  # noqa: F401
+    EngineStats,
+    InferenceEngine,
+    engine_from_model,
+)
 from mrisr_tpu.serve.quant import (  # noqa: F401
     calibrate_unet,
     quantize_unet,

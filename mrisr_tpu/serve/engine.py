@@ -1,0 +1,236 @@
+"""Micro-batching inference engine: the TPU serving runtime.
+
+The reference has no serving layer at all (inference happens inline in
+notebook cells, one batch at a time — `/root/reference/src/
+VolumeVisualization.py:185-204`).  On TPU, serving efficiency is set by two
+hardware facts this engine is built around:
+
+- **Static shapes**: XLA compiles one program per shape, so the engine runs
+  a FIXED batch size and wrap-pads partial batches (same trick as
+  eval/volume_eval.py) — every dispatch reuses the single compiled program.
+- **Batch amortization**: per-dispatch overhead (host->device transfer +
+  launch) is amortized across the whole micro-batch; the measured sweet
+  spot for the 31 M UNet is batch 128 (bench.py).
+
+Design: callers submit individual requests (numpy `(H, W, 2)` slice pairs)
+from any thread and get a `Future`.  A single dispatcher thread drains the
+queue, assembles up to `batch_size` requests (waiting at most
+`max_delay_ms` for stragglers once the first request of a batch arrives),
+runs ONE jitted forward, and resolves the futures.  Model variants: plain
+bf16, BN-folded, or int8 (serve/quant.py) — any `(B, H, W, 2) -> (B, H, W,
+1)` jitted callable works.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class EngineStats:
+    """Cumulative serving counters (read with `Engine.stats`)."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    total_batch_time_s: float = 0.0
+
+    @property
+    def occupancy(self) -> float:
+        """Mean fraction of real (non-padding) slots per dispatched batch."""
+        total = self.requests + self.padded_slots
+        return self.requests / total if total else 0.0
+
+    @property
+    def slices_per_sec(self) -> float:
+        if self.total_batch_time_s == 0:
+            return 0.0
+        return self.requests / self.total_batch_time_s
+
+
+@dataclass
+class _Pending:
+    x: np.ndarray
+    future: Future
+
+
+class InferenceEngine:
+    """Threaded micro-batching wrapper around one jitted forward.
+
+    Parameters
+    ----------
+    apply_fn : (B, H, W, C_in) float32 -> (B, H, W, C_out) jitted callable.
+    batch_size : static micro-batch size (one compiled program).
+    input_shape : per-request (H, W, C_in).
+    max_delay_ms : max time to hold an open batch waiting for more requests
+        once it has at least one.  0 dispatches immediately (latency-first).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        batch_size: int = 128,
+        input_shape: Tuple[int, int, int] = (256, 256, 2),
+        max_delay_ms: float = 2.0,
+    ):
+        self._apply = apply_fn
+        self.batch_size = int(batch_size)
+        self.input_shape = tuple(input_shape)
+        self.max_delay_s = max_delay_ms / 1e3
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self.stats = EngineStats()
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ client
+    def submit(self, x: np.ndarray) -> Future:
+        """Enqueue one `(H, W, C_in)` request; returns a Future of
+        `(H, W, C_out)`."""
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        x = np.asarray(x, np.float32)
+        if x.shape != self.input_shape:
+            raise ValueError(
+                f"request shape {x.shape} != engine input {self.input_shape}"
+            )
+        item = _Pending(x=x, future=Future())
+        self._queue.put(item)
+        return item.future
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """Blocking single-request convenience."""
+        return self.submit(x).result()
+
+    def predict_many(self, xs: List[np.ndarray]) -> List[np.ndarray]:
+        futures = [self.submit(x) for x in xs]
+        return [f.result() for f in futures]
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --------------------------------------------------------- dispatcher
+    def _collect(self) -> Optional[List[_Pending]]:
+        """Block for the first request, then drain up to batch_size within
+        max_delay."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except queue.Empty:
+                break
+            if nxt is None:  # close sentinel: put it back for the loop
+                self._queue.put(None)
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            n = len(batch)
+            xs = np.stack([p.x for p in batch])
+            if n < self.batch_size:
+                # wrap-pad to the static batch so the compiled program is
+                # reused (padding repeats real rows; results are discarded)
+                reps = -(-self.batch_size // n)
+                xs = np.tile(xs, (reps, 1, 1, 1))[: self.batch_size]
+            t0 = time.perf_counter()
+            try:
+                out = np.asarray(self._apply(xs))
+            except Exception as e:  # resolve, don't kill the dispatcher
+                for p in batch:
+                    p.future.set_exception(e)
+                continue
+            dt = time.perf_counter() - t0
+            self.stats.requests += n
+            self.stats.batches += 1
+            self.stats.padded_slots += self.batch_size - n
+            self.stats.total_batch_time_s += dt
+            for i, p in enumerate(batch):
+                p.future.set_result(out[i])
+
+
+def engine_from_model(
+    model_name: str = "unet",
+    models_dir: str = "models",
+    quant: str = "none",
+    batch_size: int = 128,
+    image_size: Tuple[int, int] = (256, 256),
+    calibration_batches: Optional[List] = None,
+    cfg=None,
+    **engine_kwargs,
+) -> InferenceEngine:
+    """Build a serving engine from a checkpoint.
+
+    quant='none': BN-folded bf16 forward (the 1,627 slices/s path).
+    quant='int8': serve/quant.py int8 forward (the 2,246 slices/s path);
+    requires `calibration_batches` (a few `(B, H, W, 2)` arrays).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.api import load_model
+
+    loaded = load_model(
+        model_name, models_dir=models_dir, image_size=image_size,
+        cfg=cfg, fold_bn=True,
+    )
+    if loaded.kind != "pair":
+        raise ValueError(
+            "the serving engine batches 2-in/1-out pair models; "
+            f"{model_name!r} is kind={loaded.kind!r}"
+        )
+    if quant == "int8":
+        from mrisr_tpu.serve.quant import (
+            calibrate_unet,
+            quantize_unet,
+            unet_int8_apply,
+        )
+
+        if not calibration_batches:
+            raise ValueError("int8 serving requires calibration_batches")
+        qparams = quantize_unet(
+            loaded.variables, calibrate_unet(loaded.variables, calibration_batches)
+        )
+        apply_fn = jax.jit(lambda x: unet_int8_apply(qparams, x))
+    else:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            loaded.variables,
+        )
+        module = loaded.module
+        apply_fn = jax.jit(
+            lambda x: module.apply(variables, x, train=False).astype(jnp.float32)
+        )
+    return InferenceEngine(
+        apply_fn, batch_size=batch_size,
+        input_shape=(image_size[0], image_size[1], 2), **engine_kwargs,
+    )

@@ -1,0 +1,144 @@
+"""Serving engine tests: micro-batching correctness, padding, concurrency.
+
+CPU-only (conftest forces jax_platforms=cpu); the apply fn is a tiny jitted
+function so results are exactly checkable against a direct call.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from mrisr_tpu.serve.engine import InferenceEngine
+
+SHAPE = (8, 8, 2)
+
+
+def _make_apply():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def apply_fn(x):  # (B, 8, 8, 2) -> (B, 8, 8, 1): mean of channels + 1
+        return (jnp.mean(x, axis=-1, keepdims=True) + 1.0).astype(jnp.float32)
+
+    return apply_fn
+
+
+def _expected(x):
+    return np.mean(np.asarray(x, np.float32), axis=-1, keepdims=True) + 1.0
+
+
+def test_single_request_padded_batch():
+    with InferenceEngine(_make_apply(), batch_size=4, input_shape=SHAPE) as eng:
+        x = np.random.RandomState(0).rand(*SHAPE).astype(np.float32)
+        y = eng.predict(x)
+        np.testing.assert_allclose(y, _expected(x), rtol=1e-6)
+    assert eng.stats.requests == 1
+    assert eng.stats.batches == 1
+    assert eng.stats.padded_slots == 3  # wrap-padded to the static batch
+
+
+def test_many_requests_exact_and_batched():
+    rng = np.random.RandomState(1)
+    xs = [rng.rand(*SHAPE).astype(np.float32) for _ in range(11)]
+    with InferenceEngine(
+        _make_apply(), batch_size=4, input_shape=SHAPE, max_delay_ms=20.0
+    ) as eng:
+        ys = eng.predict_many(xs)
+        for x, y in zip(xs, ys):
+            np.testing.assert_allclose(y, _expected(x), rtol=1e-6)
+        assert eng.stats.requests == 11
+        # 11 requests at batch 4 need at least ceil(11/4)=3 dispatches
+        assert eng.stats.batches >= 3
+
+
+def test_concurrent_submitters():
+    rng = np.random.RandomState(2)
+    xs = [rng.rand(*SHAPE).astype(np.float32) for _ in range(24)]
+    results = {}
+    with InferenceEngine(
+        _make_apply(), batch_size=8, input_shape=SHAPE, max_delay_ms=10.0
+    ) as eng:
+
+        def worker(idx):
+            results[idx] = eng.predict(xs[idx])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for i, x in enumerate(xs):
+        np.testing.assert_allclose(results[i], _expected(x), rtol=1e-6)
+    assert eng.stats.requests == 24
+    assert eng.stats.occupancy > 0.0
+
+
+def test_shape_validation_and_close():
+    eng = InferenceEngine(_make_apply(), batch_size=2, input_shape=SHAPE)
+    with pytest.raises(ValueError):
+        eng.submit(np.zeros((4, 4, 2), np.float32))
+    eng.close()
+    with pytest.raises(RuntimeError):
+        eng.submit(np.zeros(SHAPE, np.float32))
+    eng.close()  # idempotent
+
+
+def test_apply_error_resolves_futures():
+    import jax
+
+    @jax.jit
+    def bad(x):
+        return x[..., :1]
+
+    def raising(x):
+        raise RuntimeError("boom")
+
+    with InferenceEngine(raising, batch_size=2, input_shape=SHAPE) as eng:
+        fut = eng.submit(np.zeros(SHAPE, np.float32))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+        # dispatcher survives; next request still works after swapping fn
+        eng._apply = bad
+        y = eng.predict(np.ones(SHAPE, np.float32))
+        assert y.shape == (8, 8, 1)
+
+
+def test_engine_from_model_fresh_unet(tmp_path):
+    # fresh (untrained) tiny UNet end-to-end through the engine
+    from mrisr_tpu.config import ModelConfig
+    import mrisr_tpu.serve.engine as engine_mod
+
+    eng = None
+    try:
+        from mrisr_tpu.api import load_model
+
+        loaded = load_model("unet", models_dir=str(tmp_path),
+                            cfg=ModelConfig(base_features=4),
+                            image_size=(16, 16))
+        import jax
+
+        apply_fn = jax.jit(
+            lambda x: loaded.module.apply(loaded.variables, x, train=False)
+        )
+        eng = engine_mod.InferenceEngine(
+            apply_fn, batch_size=2, input_shape=(16, 16, 2)
+        )
+        y = eng.predict(np.zeros((16, 16, 2), np.float32))
+        assert y.shape == (16, 16, 1)
+        assert np.all(np.isfinite(y))
+    finally:
+        if eng is not None:
+            eng.close()
+
+
+def test_engine_from_model_rejects_window_models(tmp_path):
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    with pytest.raises(ValueError, match="pair"):
+        engine_from_model(
+            "progressive_unet", models_dir=str(tmp_path),
+            image_size=(16, 16), cfg=ModelConfig(base_features=4),
+        )
