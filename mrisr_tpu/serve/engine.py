@@ -186,6 +186,7 @@ def engine_from_model(
     image_size: Tuple[int, int] = (256, 256),
     calibration_batches: Optional[List] = None,
     cfg=None,
+    data_parallel: bool = False,
     **engine_kwargs,
 ) -> InferenceEngine:
     """Build a serving engine from a checkpoint.
@@ -193,6 +194,9 @@ def engine_from_model(
     quant='none': BN-folded bf16 forward (the 1,627 slices/s path).
     quant='int8': serve/quant.py int8 forward (the 2,246 slices/s path);
     requires `calibration_batches` (a few `(B, H, W, 2)` arrays).
+    data_parallel=True shards each micro-batch over the ('data',) axis of a
+    mesh spanning all local devices (params replicated) — serving DP over
+    ICI; batch_size must divide by the device count.
     """
     import jax
     import jax.numpy as jnp
@@ -230,6 +234,27 @@ def engine_from_model(
         apply_fn = jax.jit(
             lambda x: module.apply(variables, x, train=False).astype(jnp.float32)
         )
+    if data_parallel:
+        from jax.sharding import PartitionSpec as P
+
+        from mrisr_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {n_dev} devices"
+            )
+        sharding = batch_sharding(mesh)
+        sharded_fwd = jax.jit(
+            apply_fn, out_shardings=jax.NamedSharding(mesh, P())
+        )
+
+        def apply_fn(x, _fwd=sharded_fwd, _sh=sharding):
+            # place each micro-batch sharded on 'data'; GSPMD runs the
+            # forward per shard, params replicated; gather once at the end
+            return _fwd(jax.device_put(jnp.asarray(x), _sh))
+
     return InferenceEngine(
         apply_fn, batch_size=batch_size,
         input_shape=(image_size[0], image_size[1], 2), **engine_kwargs,

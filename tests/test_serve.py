@@ -133,6 +133,39 @@ def test_engine_from_model_fresh_unet(tmp_path):
             eng.close()
 
 
+def test_engine_data_parallel_matches_single_device(tmp_path):
+    # DP serving on the virtual 8-device CPU mesh == single-device results
+    import jax
+
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    assert jax.device_count() == 8
+    rng = np.random.RandomState(3)
+    xs = [rng.rand(16, 16, 2).astype(np.float32) for _ in range(10)]
+    kwargs = dict(
+        models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
+        image_size=(16, 16), batch_size=8, max_delay_ms=20.0,
+    )
+    with engine_from_model("unet", **kwargs) as single:
+        ys_single = single.predict_many(xs)
+    with engine_from_model("unet", data_parallel=True, **kwargs) as dp:
+        ys_dp = dp.predict_many(xs)
+    for a, b in zip(ys_single, ys_dp):
+        np.testing.assert_allclose(a, b, atol=2e-2)  # bf16 forward
+
+
+def test_engine_data_parallel_batch_divisibility(tmp_path):
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    with pytest.raises(ValueError, match="divide"):
+        engine_from_model(
+            "unet", models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
+            image_size=(16, 16), batch_size=6, data_parallel=True,
+        )
+
+
 def test_engine_from_model_rejects_window_models(tmp_path):
     from mrisr_tpu.config import ModelConfig
     from mrisr_tpu.serve.engine import engine_from_model
