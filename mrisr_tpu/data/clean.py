@@ -15,7 +15,7 @@ import shutil
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 
-from mrisr_tpu.data.dicom_lite import read_dicom
+
 
 
 @dataclass
@@ -37,7 +37,11 @@ def is_unwanted_series(series_dir: str) -> bool:
     if not dcms:
         return False
     try:
-        d = read_dicom(os.path.join(series_dir, dcms[0]), pixels=False)
+        # native header scanner when compiled (11.6x; data/dicom_fast.py) —
+        # the cleaner touches one header per series across the whole tree
+        from mrisr_tpu.data.dicom_fast import best_reader
+
+        d = best_reader()(os.path.join(series_dir, dcms[0]), pixels=False)
     except Exception:
         return False
     if d.modality.upper() == "US":

@@ -16,7 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from mrisr_tpu.data.dicom_lite import read_dicom
+
 
 
 def discover_series(
@@ -60,7 +60,12 @@ def read_series_volume(
     )
     if len(files) < 3:
         return None
-    dcms = [read_dicom(f) for f in files]
+    # native header scanner when compiled (data/dicom_fast.py; identical
+    # results, golden-tested) — ingest of the real tree is 69k files
+    from mrisr_tpu.data.dicom_fast import best_reader
+
+    reader = best_reader()
+    dcms = [reader(f) for f in files]
     if sort_by == "position":
         keyed = []
         for d, f in zip(dcms, files):
@@ -83,9 +88,12 @@ def check_z_spacing(series_folder: str) -> Optional[float]:
         for f in os.listdir(series_folder)
         if f.lower().endswith(".dcm")
     )
+    from mrisr_tpu.data.dicom_fast import best_reader
+
+    reader = best_reader()
     zs = []
     for f in files:
-        pos = read_dicom(f, pixels=False).image_position
+        pos = reader(f, pixels=False).image_position
         if pos is not None:
             zs.append(pos[2])
     if len(zs) < 2:
