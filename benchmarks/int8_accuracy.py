@@ -56,30 +56,37 @@ def main():
         if i >= 4:
             break
         calib_batches.append(batch[..., :2])
-    qparams = quantize_unet(folded, calibrate_unet(folded, calib_batches))
+    q_absmax = quantize_unet(folded, calibrate_unet(folded, calib_batches))
+    q_p999 = quantize_unet(
+        folded, calibrate_unet(folded, calib_batches, percentile=99.9)
+    )
 
-    bf16_fn = loaded.predict_nhwc
-    int8_fn = jax.jit(lambda x: unet_int8_apply(qparams, x))
-
+    variants = {
+        "bf16": loaded.predict_nhwc,
+        "int8_absmax": jax.jit(lambda x: unet_int8_apply(q_absmax, x)),
+        "int8_p99.9": jax.jit(lambda x: unet_int8_apply(q_p999, x)),
+    }
     results = {}
-    for label, fn in (("bf16", bf16_fn), ("int8", int8_fn)):
+    for label, fn in variants.items():
         results[label] = evaluate_pair_model_test_set(
             fn, store, data_cfg, max_batches=args.max_batches
         )
     deltas = {}
-    for sp in ("3mm", "6mm"):
-        if sp in results["bf16"] and sp in results["int8"]:
-            deltas[sp] = {
-                "ssim_delta": round(
-                    results["int8"][sp]["ssim_mean"]
-                    - results["bf16"][sp]["ssim_mean"], 6
-                ),
-                "psnr_delta_db": round(
-                    results["int8"][sp]["psnr_mean"]
-                    - results["bf16"][sp]["psnr_mean"], 4
-                ),
-            }
-    out = {"bf16": results["bf16"], "int8": results["int8"], "delta": deltas}
+    for label in ("int8_absmax", "int8_p99.9"):
+        deltas[label] = {}
+        for sp in ("3mm", "6mm"):
+            if sp in results["bf16"] and sp in results[label]:
+                deltas[label][sp] = {
+                    "ssim_delta": round(
+                        results[label][sp]["ssim_mean"]
+                        - results["bf16"][sp]["ssim_mean"], 6
+                    ),
+                    "psnr_delta_db": round(
+                        results[label][sp]["psnr_mean"]
+                        - results["bf16"][sp]["psnr_mean"], 4
+                    ),
+                }
+    out = {**results, "delta_vs_bf16": deltas}
     print(json.dumps(out, indent=2))
     if args.out:
         pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)

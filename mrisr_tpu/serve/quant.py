@@ -53,47 +53,64 @@ def _upconv(x, sub, dtype):
     return y + sub["bias"].astype(dtype)
 
 
-def _float_block(sub, x, stats: Dict[str, jax.Array], name: str, dtype):
-    """Folded double-conv block in float, recording each conv-input absmax."""
+def _float_block(sub, x, stats: Dict[str, jax.Array], name: str, dtype,
+                 stat_fn):
+    """Folded double-conv block in float, recording each conv-input range."""
     for cn in ("Conv_0", "Conv_1"):
-        stats[f"{name}/{cn}"] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        stats[f"{name}/{cn}"] = stat_fn(x)
         w = sub[cn]["kernel"].astype(dtype)
         x = _conv3x3(x.astype(dtype), w) + sub[cn]["bias"].astype(dtype)
         x = nn.relu(x)
     return x
 
 
-def _unet_float_with_stats(params: Dict, x: jax.Array, dtype=jnp.bfloat16):
-    """Forward of the folded UNet recording per-conv input absmax.
+def _unet_float_with_stats(params: Dict, x: jax.Array, dtype=jnp.bfloat16,
+                           percentile=None):
+    """Forward of the folded UNet recording per-conv input range.
 
-    Mirrors models/unet.py exactly (tested equal); returns (y, stats)."""
+    Mirrors models/unet.py exactly (tested equal); returns (y, stats).
+    ``percentile=None`` records absmax; a value (e.g. 99.9) records that
+    percentile of |x| — clipping the outlier tail spends the 127 int8 codes
+    on the bulk of the distribution instead of one extreme activation."""
+    if percentile is None:
+        stat_fn = lambda a: jnp.max(jnp.abs(a)).astype(jnp.float32)  # noqa: E731
+    else:
+        stat_fn = lambda a: jnp.percentile(  # noqa: E731
+            jnp.abs(a).astype(jnp.float32).reshape(-1), percentile
+        )
     stats: Dict[str, jax.Array] = {}
     skips = []
     for name in _BLOCKS_DOWN:
-        x = _float_block(params[name], x, stats, name, dtype)
+        x = _float_block(params[name], x, stats, name, dtype, stat_fn)
         skips.append(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-    x = _float_block(params["bottleneck"], x, stats, "bottleneck", dtype)
+    x = _float_block(params["bottleneck"], x, stats, "bottleneck", dtype,
+                     stat_fn)
     for name, skip in zip(_BLOCKS_UP, reversed(skips)):
         up = f"upconv{name[-1]}"
         x = _upconv(x, params[up], dtype)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = _float_block(params[name], x, stats, name, dtype)
+        x = _float_block(params[name], x, stats, name, dtype, stat_fn)
     x = _conv3x3(x.astype(dtype), params["final"]["kernel"].astype(dtype))
     x = x + params["final"]["bias"].astype(dtype)
     return x.astype(jnp.float32), stats
 
 
 def calibrate_unet(
-    variables: Dict, batches: List[jax.Array], dtype=jnp.bfloat16
+    variables: Dict, batches: List[jax.Array], dtype=jnp.bfloat16,
+    percentile=None,
 ) -> Dict[str, float]:
-    """Per-conv-input absmax over calibration batches.
+    """Per-conv-input absmax (or |x| percentile) over calibration batches.
 
     variables: FOLDED tree ({'params': ...} from fold_unet_batchnorm).
     batches: list of (B, H, W, 2) inputs (a handful is enough).
+    percentile: None = absmax (safe default); e.g. 99.9 clips the
+    activation outlier tail, usually a smaller SSIM delta — measure with
+    benchmarks/int8_accuracy.py before serving either way.
     """
     fwd = jax.jit(
-        lambda p, x: _unet_float_with_stats(p, x, dtype=dtype)[1]
+        lambda p, x: _unet_float_with_stats(
+            p, x, dtype=dtype, percentile=percentile)[1]
     )
     acc: Dict[str, float] = {}
     for b in batches:

@@ -71,3 +71,21 @@ def test_int8_weight_tables(folded, batch):
     assert c0["scale"].shape == (F,)
     # upconv/final stayed float
     assert q["final"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_percentile_calibration(folded, batch):
+    """p99.9 scales are <= absmax scales (outlier tail clipped) and the
+    quantized forward stays finite and close to float."""
+    absmax = calibrate_unet(folded, [batch])
+    p999 = calibrate_unet(folded, [batch], percentile=99.9)
+    assert set(absmax) == set(p999)
+    for k in absmax:
+        assert p999[k] <= absmax[k] + 1e-6
+    q = quantize_unet(folded, p999)
+    y = unet_int8_apply(q, batch)
+    ref = _unet_float_with_stats(folded["params"], batch,
+                                 dtype=jnp.float32)[0]
+    assert np.all(np.isfinite(np.asarray(y)))
+    err = float(jnp.mean(jnp.abs(y - ref))) / (
+        float(jnp.mean(jnp.abs(ref))) + 1e-8)
+    assert err < 0.25  # same sanity bound as the absmax-path test
