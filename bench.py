@@ -61,6 +61,7 @@ def bench_unet_inference(
     scan_len: int = 10,
     repeats: int = 2,
     quant: str = "none",
+    features: int = 64,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -70,17 +71,21 @@ def bench_unet_inference(
     # bf16 compute AND bf16-resident params: halves weight HBM traffic per
     # forward vs fp32 params cast per call (VERDICT r1 item 2).  Metric-safe
     # on this workload (see tests/test_models.py bf16-vs-fp32 tolerance).
-    model = UNet(features=64, dtype=jnp.bfloat16)
+    # features=64 is the exact M2 topology; 32 benches the unet_distilled
+    # serving student (serve/distill.py — accuracy measured separately).
+    model = UNet(features=features, dtype=jnp.bfloat16)
     x = jnp.zeros((batch_size, image_size, image_size, 2), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
-    if quant == "int8":
+    if quant in ("int8", "int8_fused"):
         # opt-in int8 MXU serving path (serve/quant.py): BN-folded weights
         # quantized per-channel, activations per-layer; accuracy cost is
-        # measured separately (results_demo/README.md)
+        # measured separately (results_demo/README.md).  int8_fused keeps
+        # activations int8-resident in HBM (requant in the conv epilogue).
         from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
         from mrisr_tpu.serve import (
             calibrate_unet, quantize_unet, unet_int8_apply,
+            unet_int8_fused_apply,
         )
 
         folded = fold_unet_batchnorm(
@@ -91,7 +96,8 @@ def bench_unet_inference(
         )
         qparams = quantize_unet(folded, calibrate_unet(folded, [calib_x]))
         variables = qparams
-        apply_fn = lambda v, b: unet_int8_apply(v, b)  # noqa: E731
+        fwd = unet_int8_fused_apply if quant == "int8_fused" else unet_int8_apply
+        apply_fn = lambda v, b: fwd(v, b)  # noqa: E731
     else:
         variables = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -132,6 +138,8 @@ def bench_unet_inference(
     }
     if quant != "none":
         result["quant"] = quant
+    if features != 64:
+        result["features"] = features
     if gflops_per_slice is not None:
         # int8 programs report conv flops on the same 2xMAC convention, so
         # MFU stays against the bf16 peak: >1.0 means the int8 path passed
@@ -150,11 +158,14 @@ def main():
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--scan-len", type=int, default=10)
     p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--quant", default="none", choices=("none", "int8"))
+    p.add_argument(
+        "--quant", default="none", choices=("none", "int8", "int8_fused")
+    )
+    p.add_argument("--features", type=int, default=64)
     args = p.parse_args()
     result = bench_unet_inference(
         batch_size=args.batch_size, scan_len=args.scan_len,
-        repeats=args.repeats, quant=args.quant,
+        repeats=args.repeats, quant=args.quant, features=args.features,
     )
     print(json.dumps(result))
 

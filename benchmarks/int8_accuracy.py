@@ -36,7 +36,12 @@ def main():
     from mrisr_tpu.data.pipeline import build_loader
     from mrisr_tpu.data.volumes import VolumeStore
     from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
-    from mrisr_tpu.serve import calibrate_unet, quantize_unet, unet_int8_apply
+    from mrisr_tpu.serve import (
+        calibrate_unet,
+        quantize_unet,
+        unet_int8_apply,
+        unet_int8_fused_apply,
+    )
 
     store = VolumeStore.open(args.data)
     data_cfg = DataConfig(root=args.data, batch_size=32, augment=False)
@@ -65,6 +70,9 @@ def main():
         "bf16": loaded.predict_nhwc,
         "int8_absmax": jax.jit(lambda x: unet_int8_apply(q_absmax, x)),
         "int8_p99.9": jax.jit(lambda x: unet_int8_apply(q_p999, x)),
+        "int8_fused_absmax": jax.jit(
+            lambda x: unet_int8_fused_apply(q_absmax, x)
+        ),
     }
     results = {}
     for label, fn in variants.items():
@@ -72,7 +80,7 @@ def main():
             fn, store, data_cfg, max_batches=args.max_batches
         )
     deltas = {}
-    for label in ("int8_absmax", "int8_p99.9"):
+    for label in ("int8_absmax", "int8_p99.9", "int8_fused_absmax"):
         deltas[label] = {}
         for sp in ("3mm", "6mm"):
             if sp in results["bf16"] and sp in results[label]:

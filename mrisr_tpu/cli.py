@@ -129,6 +129,11 @@ def cmd_train(args):
     val_loader = build_loader(store, "val", cfg.data, kind=kind,
                               backend=args.backend)
 
+    if cfg.loss.kind == "distill":
+        raise SystemExit(
+            "preset 'unet_distilled' trains against a teacher checkpoint — "
+            "use: python -m mrisr_tpu.cli distill --teacher unet ..."
+        )
     if cfg.loss.kind == "gan":
         from mrisr_tpu.losses.perceptual import make_perceptual_fn
         from mrisr_tpu.train import GANTrainer
@@ -151,6 +156,46 @@ def cmd_train(args):
 
         trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
                                     image_size=hw)
+    if args.scan_epochs:
+        if args.backend != "device":
+            raise SystemExit("--scan-epochs requires --backend device")
+        trainer.enable_device_epochs(train_loader.bank, train_loader.plan_flat)
+    if args.resume and trainer.try_resume():
+        print(f"resumed from epoch {trainer.start_epoch - 1}")
+    hist = trainer.fit(train_loader, val_loader)
+    print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
+
+
+def cmd_distill(args):
+    """Serving distillation (serve/distill.py): train a reduced-width UNet
+    student against a trained teacher checkpoint.  The student lands in the
+    regular checkpoint layout, so `eval --model unet_distilled` and the
+    serving engine pick it up like any pair model."""
+    from mrisr_tpu.data.pipeline import build_loader
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.serve.distill import DistillationTrainer
+
+    cfg = _build_config(args, args.preset)
+    store = VolumeStore.open(args.data)
+    hw = cfg.data.image_size
+    train_loader = build_loader(store, "train", cfg.data, kind="triplet",
+                                backend=args.backend)
+    val_loader = build_loader(store, "val", cfg.data, kind="triplet",
+                              backend=args.backend)
+    teacher_cfg = None
+    if args.teacher_features:
+        from mrisr_tpu.config import ModelConfig
+
+        teacher_cfg = ModelConfig(
+            name=args.teacher, base_features=args.teacher_features
+        )
+    trainer = DistillationTrainer(
+        cfg,
+        teacher_name=args.teacher,
+        teacher_models_dir=args.teacher_dir or args.checkpoint_dir,
+        teacher_cfg=teacher_cfg,
+        image_size=hw,
+    )
     if args.scan_epochs:
         if args.backend != "device":
             raise SystemExit("--scan-epochs requires --backend device")
@@ -379,7 +424,8 @@ def cmd_bench(args):
     from bench import bench_unet_inference
 
     print(json.dumps(bench_unet_inference(
-        batch_size=args.batch_size, quant=args.quant)))
+        batch_size=args.batch_size, quant=args.quant,
+        features=args.features)))
 
 
 def main(argv=None):
@@ -425,6 +471,21 @@ def main(argv=None):
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_train)
 
+    q = sub.add_parser("distill")
+    q.add_argument("--preset", default="unet_distilled",
+                   choices=sorted(k for k in _PRESETS
+                                  if _PRESETS[k].loss.kind == "distill"))
+    q.add_argument("--teacher", default="unet",
+                   help="trained pair-model checkpoint to distill from")
+    q.add_argument("--teacher-dir", default=None,
+                   help="teacher checkpoint dir (default: --checkpoint-dir)")
+    q.add_argument("--teacher-features", type=int, default=None,
+                   help="teacher base feature width if not the default 64")
+    q.add_argument("--config", default=None)
+    q.add_argument("--scan-epochs", action="store_true")
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_distill)
+
     q = sub.add_parser("eval")
     q.add_argument("--model", required=True)
     q.add_argument("--metric-mode", default="minmax-each",
@@ -465,7 +526,9 @@ def main(argv=None):
 
     q = sub.add_parser("bench")
     q.add_argument("--batch-size", type=int, default=128)
-    q.add_argument("--quant", default="none", choices=("none", "int8"))
+    q.add_argument("--quant", default="none",
+                   choices=("none", "int8", "int8_fused"))
+    q.add_argument("--features", type=int, default=64)
     q.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -91,6 +91,9 @@ class LossConfig:
     w_i1: float = 0.5
     w_i2: float = 1.0
     w_i3: float = 0.5
+    # serving distillation (serve/distill.py): weight of the
+    # teacher-matching MSE vs the ground-truth MSE
+    distill_alpha: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -241,6 +244,20 @@ PRESETS = {
         loss=LossConfig(kind="diffusion"),
         train=TrainConfig(
             learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0, epochs=20,
+        ),
+    ),
+    # Serving distillation student (serve/distill.py): half-width UNet
+    # (features=32, ~7.8 M params, ~4x fewer FLOPs than M2) trained against
+    # a trained 'unet' teacher's outputs.  NOT a reference configuration —
+    # a TPU-serving addition (BASELINE.md roofline section).
+    "unet_distilled": _preset(
+        "unet_distilled",
+        data=DataConfig(batch_size=32, augment=True),
+        model=ModelConfig(name="unet_distilled", base_features=32),
+        loss=LossConfig(kind="distill", distill_alpha=0.5),
+        train=TrainConfig(
+            learning_rate=2e-4, epochs=20, early_stopping_patience=10,
+            compute_dtype="bfloat16",
         ),
     ),
     # base_ch=128 variant, LINEAR β, lr 2e-4, 20 epochs

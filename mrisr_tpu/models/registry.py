@@ -68,6 +68,9 @@ def _patchgan(cfg: ModelConfig, dtype):
 MODEL_REGISTRY: Dict[str, Tuple[Callable, str]] = {
     "unet": (_unet, "pair"),
     "unet_combined": (_unet, "pair"),
+    # serving-distillation student (serve/distill.py): same M2 topology at
+    # reduced width; base_features comes from the 'unet_distilled' preset
+    "unet_distilled": (_unet, "pair"),
     "deepcnn": (_deepcnn, "pair"),
     "progressive_unet": (_progressive, "window"),
     "unet_gan": (_unet_gan, "pair"),
@@ -84,7 +87,13 @@ def create_model(name: str, cfg: ModelConfig | None = None, dtype=jnp.float32):
             f"Unknown model: {name}. Choose from: {sorted(MODEL_REGISTRY)}"
         )
     factory, kind = MODEL_REGISTRY[name]
-    cfg = cfg or ModelConfig(name=name)
+    if cfg is None:
+        # presets may override architecture hyperparameters (e.g. the
+        # unet_distilled student's base_features=32) — plain
+        # ModelConfig(name=...) defaults only cover the reference models
+        from mrisr_tpu.config import PRESETS
+
+        cfg = PRESETS[name].model if name in PRESETS else ModelConfig(name=name)
     return factory(cfg, dtype), kind
 
 

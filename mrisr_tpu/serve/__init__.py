@@ -11,4 +11,5 @@ from mrisr_tpu.serve.quant import (  # noqa: F401
     calibrate_unet,
     quantize_unet,
     unet_int8_apply,
+    unet_int8_fused_apply,
 )

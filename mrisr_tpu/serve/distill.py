@@ -1,0 +1,150 @@
+"""Serving distillation: train a reduced-topology UNet student against a
+trained teacher.
+
+Why this exists (BASELINE.md "Roofline"): the exact reference M2 topology
+(`/root/reference/src/ModelLoader.py:66-145`, 31 M params) costs ~94 GFLOP
+per 256² slice — its bf16 single-chip ceiling on v5e is ~2.1k slices/s, so
+the 5k slices/s/chip serving target is unreachable for the exact topology
+no matter how well it is scheduled.  A half-width student (``features=32``,
+~7.8 M params) costs ~4× less FLOPs with the same receptive field, putting
+the target back inside the roofline; distilling it from the trained 31 M
+teacher (instead of training from scratch) is the standard way to keep the
+teacher's accuracy at serving time.  The reference has no distillation
+anywhere — this is a TPU-serving addition, measured like the int8 path
+(speed in bench.py --features, accuracy in benchmarks/distill_accuracy.py).
+
+Loss: ``alpha * MSE(student, teacher(x)) + (1 - alpha) * MSE(student, gt)``
+— soft-target matching plus ground-truth anchoring.  The teacher runs
+frozen, BN-folded, in bf16 inside the same jitted step (its forward is
+~4× the student's backward cost at features=32; still one fused XLA
+program, no host round-trips).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.config import Config
+from mrisr_tpu.losses import mse
+from mrisr_tpu.train.steps import _apply
+from mrisr_tpu.train.trainer import SupervisedTrainer
+
+
+def make_distill_steps(
+    teacher_fn: Callable[[jax.Array], jax.Array],
+    alpha: float = 0.5,
+    donate: bool = True,
+    jit_steps: bool = True,
+):
+    """Steps for pair-input distillation: batch (B, H, W, 3).
+
+    ``teacher_fn`` is a frozen forward ``(B, H, W, 2) -> (B, H, W, 1)``
+    (its params ride along as jit constants, device-resident).  Metrics
+    report the two components separately so the history JSON shows how much
+    of the loss is teacher-matching vs ground truth.
+    """
+
+    def train_step(state, batch: jax.Array):
+        inputs, target = batch[..., :2], batch[..., 2:3]
+        t_pred = jax.lax.stop_gradient(teacher_fn(inputs))
+
+        def loss_wrapped(params):
+            pred, new_stats = _apply(state, params, inputs, train=True)
+            l_teacher = mse(pred, t_pred)
+            l_gt = mse(pred, target)
+            loss = alpha * l_teacher + (1.0 - alpha) * l_gt
+            return loss, ({"teacher_mse": l_teacher, "gt_mse": l_gt}, new_stats)
+
+        (loss, (comps, new_stats)), grads = jax.value_and_grad(
+            loss_wrapped, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        return state, {"loss": loss, **comps}
+
+    def eval_step(state, batch: jax.Array):
+        inputs, target = batch[..., :2], batch[..., 2:3]
+        t_pred = teacher_fn(inputs)
+        pred, _ = _apply(state, state.params, inputs, train=False)
+        l_teacher = mse(pred, t_pred)
+        l_gt = mse(pred, target)
+        loss = alpha * l_teacher + (1.0 - alpha) * l_gt
+        return {"loss": loss, "teacher_mse": l_teacher, "gt_mse": l_gt}
+
+    if not jit_steps:
+        return train_step, eval_step
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
+def make_teacher_fn(
+    teacher_name: str = "unet",
+    models_dir: str = "models",
+    image_size=(256, 256),
+    cfg=None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Frozen BN-folded bf16 forward of a trained pair-model checkpoint."""
+    from mrisr_tpu.api import load_model
+
+    loaded = load_model(
+        teacher_name, models_dir=models_dir, checkpoint="required",
+        image_size=image_size, cfg=cfg, fold_bn=True,
+    )
+    if loaded.kind != "pair":
+        raise ValueError(
+            f"distillation teacher must be a pair model; {teacher_name!r} "
+            f"is kind={loaded.kind!r}"
+        )
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        loaded.variables,
+    )
+    module = loaded.module
+
+    def teacher_fn(x):
+        return module.apply(variables, x, train=False).astype(jnp.float32)
+
+    return teacher_fn
+
+
+class DistillationTrainer(SupervisedTrainer):
+    """SupervisedTrainer with the distillation objective swapped in.
+
+    Everything else (epoch loop, early stopping, Orbax best/latest/per-epoch
+    checkpoints, history JSON/PNG, scan-epoch device runner) is inherited —
+    the student checkpoint is a regular ``<preset>_best`` that
+    ``api.load_model``/the serving engine load like any other pair model.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        teacher_fn: Optional[Callable] = None,
+        teacher_name: str = "unet",
+        teacher_models_dir: str = "models",
+        teacher_cfg=None,
+        image_size=(256, 256),
+        mesh=None,
+    ):
+        super().__init__(config, image_size=image_size, mesh=mesh)
+        if self.kind != "pair":
+            raise ValueError("distillation supports pair models only")
+        if teacher_fn is None:
+            teacher_fn = make_teacher_fn(
+                teacher_name, models_dir=teacher_models_dir,
+                image_size=image_size, cfg=teacher_cfg,
+            )
+        alpha = config.loss.distill_alpha
+        self.train_step, self.eval_step = make_distill_steps(
+            teacher_fn, alpha=alpha, donate=config.train.donate_batch
+        )
+        self._raw_train_step, _ = make_distill_steps(
+            teacher_fn, alpha=alpha, jit_steps=False
+        )

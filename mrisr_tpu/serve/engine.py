@@ -194,6 +194,8 @@ def engine_from_model(
     quant='none': BN-folded bf16 forward (the 1,627 slices/s path).
     quant='int8': serve/quant.py int8 forward (the 2,246 slices/s path);
     requires `calibration_batches` (a few `(B, H, W, 2)` arrays).
+    quant='int8_fused': int8-resident activations (requant in the conv
+    epilogue, `unet_int8_fused_apply`) — same tables and calibration.
     data_parallel=True shards each micro-batch over the ('data',) axis of a
     mesh spanning all local devices (params replicated) — serving DP over
     ICI; batch_size must divide by the device count.
@@ -212,11 +214,12 @@ def engine_from_model(
             "the serving engine batches 2-in/1-out pair models; "
             f"{model_name!r} is kind={loaded.kind!r}"
         )
-    if quant == "int8":
+    if quant in ("int8", "int8_fused"):
         from mrisr_tpu.serve.quant import (
             calibrate_unet,
             quantize_unet,
             unet_int8_apply,
+            unet_int8_fused_apply,
         )
 
         if not calibration_batches:
@@ -224,7 +227,8 @@ def engine_from_model(
         qparams = quantize_unet(
             loaded.variables, calibrate_unet(loaded.variables, calibration_batches)
         )
-        apply_fn = jax.jit(lambda x: unet_int8_apply(qparams, x))
+        fwd = unet_int8_fused_apply if quant == "int8_fused" else unet_int8_apply
+        apply_fn = jax.jit(lambda x: fwd(qparams, x))
     else:
         variables = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,

@@ -157,6 +157,99 @@ def quantize_unet(variables: Dict, calib: Dict[str, float]) -> Dict:
     return out
 
 
+def _requant_epilogue(y_i32, lq, a_next, *, relu=True):
+    """Fused conv epilogue: dequant + bias + ReLU + requantize to the NEXT
+    conv's activation scale, emitting int8 directly.
+
+    XLA fuses this whole chain into the conv's output loop, so the tensor
+    written to HBM is int8 — half the bytes of the bf16 activations the
+    plain path materializes between convs (see :func:`unet_int8_fused_apply`).
+    """
+    s = lq["scale"] / a_next  # (O,) fp32, folded at trace time
+    b = lq["bias"] / a_next
+    y = y_i32.astype(jnp.float32) * s + b
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def _float_epilogue(y_i32, lq, dtype, *, relu=True):
+    y = y_i32.astype(jnp.float32) * lq["scale"] + lq["bias"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(dtype)
+
+
+def _quant_input(x, a_scale):
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+    ).astype(jnp.int8)
+
+
+def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
+    """int8 UNet forward with int8-RESIDENT activations.
+
+    Same quantization tables as :func:`unet_int8_apply` (build with
+    :func:`quantize_unet`), same topology (models/unet.py, M2) — but every
+    inter-conv activation that the plain path round-trips through bf16 is
+    instead requantized inside the conv epilogue and stays int8 in HBM:
+
+    - within each double-conv block, Conv_0's output is emitted int8 at
+      Conv_1's calibrated activation scale;
+    - each encoder block output is emitted TWICE from one conv result —
+      int8 at the next block's Conv_0 scale (max-pool commutes with the
+      monotonic quantizer, so pooling runs on int8 codes) and int8 at the
+      matching decoder Conv_0 scale for the skip connection.  Two int8
+      tensors cost the same HBM bytes as the one bf16 tensor they replace;
+    - only the tensors feeding the bf16 ConvTranspose upconvs / final 1x1
+      conv are materialized in bf16 (as in the plain path).
+
+    Accuracy: same scheme as the plain path — the requantize rounds the
+    fp32 epilogue value instead of a bf16-rounded copy, so the fused path
+    is, if anything, slightly closer to float (tested).
+    """
+    a = {
+        f"{blk}/{cn}": qparams[blk][cn]["a_scale"]
+        for blk in (*_BLOCKS_DOWN, "bottleneck", *_BLOCKS_UP)
+        for cn in ("Conv_0", "Conv_1")
+    }
+
+    skips = []  # int8, pre-quantized at the matching dec Conv_0 scale
+    xi = _quant_input(x, a["enc1/Conv_0"])
+    for i, name in enumerate(_BLOCKS_DOWN):
+        q = qparams[name]
+        y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
+        xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
+        y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
+        nxt = _BLOCKS_DOWN[i + 1] if i + 1 < len(_BLOCKS_DOWN) else "bottleneck"
+        skips.append(
+            _requant_epilogue(y1, q["Conv_1"], a[f"dec{i + 1}/Conv_0"])
+        )
+        xi = _requant_epilogue(y1, q["Conv_1"], a[f"{nxt}/Conv_0"])
+        xi = nn.max_pool(xi, (2, 2), strides=(2, 2))
+
+    q = qparams["bottleneck"]
+    y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
+    xi = _requant_epilogue(y0, q["Conv_0"], a["bottleneck/Conv_1"])
+    y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
+    xf = _float_epilogue(y1, q["Conv_1"], dtype)  # bf16 for the upconv
+
+    for name, skip in zip(_BLOCKS_UP, reversed(skips)):
+        q = qparams[name]
+        up = _upconv(xf, qparams[f"upconv{name[-1]}"], dtype)
+        xi = jnp.concatenate(
+            [_quant_input(up, a[f"{name}/Conv_0"]), skip], axis=-1
+        )
+        y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
+        xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
+        y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
+        xf = _float_epilogue(y1, q["Conv_1"], dtype)
+
+    y = _conv3x3(xf, qparams["final"]["kernel"].astype(dtype))
+    y = y + qparams["final"]["bias"].astype(dtype)
+    return y.astype(jnp.float32)
+
+
 def _int8_block(q, x, dtype):
     for cn in ("Conv_0", "Conv_1"):
         lq = q[cn]

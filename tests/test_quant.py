@@ -8,7 +8,12 @@ import jax.numpy as jnp
 
 from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
 from mrisr_tpu.models import UNet
-from mrisr_tpu.serve import calibrate_unet, quantize_unet, unet_int8_apply
+from mrisr_tpu.serve import (
+    calibrate_unet,
+    quantize_unet,
+    unet_int8_apply,
+    unet_int8_fused_apply,
+)
 from mrisr_tpu.serve.quant import _unet_float_with_stats
 
 HW = 32
@@ -71,6 +76,42 @@ def test_int8_weight_tables(folded, batch):
     assert c0["scale"].shape == (F,)
     # upconv/final stayed float
     assert q["final"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_int8_fused_matches_plain(folded, batch):
+    """The int8-resident-activation forward is the same quantization scheme
+    as the plain path — requantization just happens in the conv epilogue —
+    so both must land equally close to the float reference, and close to
+    each other (they differ only by bf16 rounding of intermediates)."""
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q = quantize_unet(folded, calib)
+    y_fp = np.asarray(
+        UNet(features=F, use_bn=False).apply(folded, batch, train=False)
+    )
+    y_plain = np.asarray(
+        jax.jit(lambda p, x: unet_int8_apply(p, x, dtype=jnp.float32))(
+            q, batch
+        )
+    )
+    y_fused = np.asarray(
+        jax.jit(lambda p, x: unet_int8_fused_apply(p, x, dtype=jnp.float32))(
+            q, batch
+        )
+    )
+    assert np.isfinite(y_fused).all()
+    rel_fused = np.linalg.norm(y_fused - y_fp) / (
+        np.linalg.norm(y_fp) + 1e-12
+    )
+    rel_plain = np.linalg.norm(y_plain - y_fp) / (
+        np.linalg.norm(y_fp) + 1e-12
+    )
+    assert rel_fused < 0.15, rel_fused
+    # no worse than the plain path (small slack for rounding differences)
+    assert rel_fused < rel_plain * 1.5 + 0.01, (rel_fused, rel_plain)
+    rel_pair = np.linalg.norm(y_fused - y_plain) / (
+        np.linalg.norm(y_plain) + 1e-12
+    )
+    assert rel_pair < 0.1, rel_pair
 
 
 def test_percentile_calibration(folded, batch):
