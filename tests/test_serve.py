@@ -175,3 +175,22 @@ def test_engine_from_model_rejects_window_models(tmp_path):
             "progressive_unet", models_dir=str(tmp_path),
             image_size=(16, 16), cfg=ModelConfig(base_features=4),
         )
+
+
+@pytest.mark.parametrize("quant", ["int8", "int8_fused"])
+def test_engine_from_model_quantized(tmp_path, quant):
+    """Both int8 serving variants run end-to-end through engine_from_model
+    (fresh tiny UNet; calibration batches supplied)."""
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    rng = np.random.RandomState(7)
+    calib = [rng.rand(4, 16, 16, 2).astype(np.float32)]
+    with engine_from_model(
+        "unet", models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
+        image_size=(16, 16), batch_size=4, quant=quant,
+        calibration_batches=calib,
+    ) as eng:
+        y = eng.predict(rng.rand(16, 16, 2).astype(np.float32))
+    assert y.shape == (16, 16, 1)
+    assert np.all(np.isfinite(y))
