@@ -22,6 +22,17 @@ north-star therefore cannot be met by the exact topology in bf16 on one
 chip; the bench reports ``mfu`` so the number can be judged against the
 hardware, not just the (mis-set) target.
 
+Default serving configuration is the int8 MXU path with int8-resident
+activations (``--quant int8_fused``, serve/quant.py) — the fastest
+exact-topology configuration, measured within +0.005 SSIM of bf16 on the
+demo checkpoint (results_demo/int8_accuracy.json).  Measured v5e ladder
+at batch 128: bf16 1,627 (77.8% MFU) -> int8 2,246 -> int8_fused 2,644
+(1.27x the bf16 dense peak).  ``--quant none`` reproduces the bf16
+number.  The width-32 distilled student (serve/distill.py,
+``--features 32``) measures 7,146 slices/s with int8_fused at batch 256
+— past the 5k target — at a measured accuracy cost vs its teacher
+(BASELINE.md); it is NOT the default because it changes the weights.
+
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "gflops_per_slice",
  "achieved_tflops", "mfu"}.
@@ -159,7 +170,8 @@ def main():
     p.add_argument("--scan-len", type=int, default=10)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument(
-        "--quant", default="none", choices=("none", "int8", "int8_fused")
+        "--quant", default="int8_fused",
+        choices=("none", "int8", "int8_fused"),
     )
     p.add_argument("--features", type=int, default=64)
     args = p.parse_args()

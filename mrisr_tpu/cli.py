@@ -526,7 +526,7 @@ def main(argv=None):
 
     q = sub.add_parser("bench")
     q.add_argument("--batch-size", type=int, default=128)
-    q.add_argument("--quant", default="none",
+    q.add_argument("--quant", default="int8_fused",
                    choices=("none", "int8", "int8_fused"))
     q.add_argument("--features", type=int, default=64)
     q.set_defaults(fn=cmd_bench)
