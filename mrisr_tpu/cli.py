@@ -206,6 +206,35 @@ def cmd_distill(args):
     print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
 
 
+def cmd_export_serving(args):
+    """Export a trained pair model as a one-artifact serving bundle
+    (serve/bundle.py): BN-folded + optionally int8-quantized, loadable by
+    `engine_from_bundle` with no checkpoint or calibration at startup."""
+    from mrisr_tpu.config import PRESETS
+    from mrisr_tpu.serve.bundle import export_serving_bundle
+
+    cfg = _build_config(args, args.model if args.model in PRESETS else "unet")
+    calib = None
+    if args.quant != "none":
+        from mrisr_tpu.data.pipeline import build_loader
+        from mrisr_tpu.data.volumes import VolumeStore
+
+        store = VolumeStore.open(args.data)
+        loader = build_loader(store, "val", cfg.data)
+        calib = []
+        for i, batch in enumerate(loader):
+            if i >= args.calib_batches:
+                break
+            calib.append(batch[..., :2])
+    path = export_serving_bundle(
+        args.out, model_name=args.model, models_dir=args.checkpoint_dir,
+        quant=args.quant, calibration_batches=calib,
+        percentile=args.percentile, cfg=cfg.model,
+        image_size=cfg.data.image_size,
+    )
+    print(f"serving bundle -> {path}")
+
+
 def cmd_eval(args):
     from mrisr_tpu.api import load_model
     from mrisr_tpu.config import PRESETS
@@ -485,6 +514,18 @@ def main(argv=None):
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_distill)
+
+    q = sub.add_parser("export-serving")
+    q.add_argument("--model", default="unet")
+    q.add_argument("--out", required=True, help="bundle output directory")
+    q.add_argument("--quant", default="int8_fused",
+                   choices=("none", "int8", "int8_fused"))
+    q.add_argument("--calib-batches", type=int, default=4)
+    q.add_argument("--percentile", type=float, default=None,
+                   help="activation calibration |x| percentile "
+                        "(default absmax)")
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_export_serving)
 
     q = sub.add_parser("eval")
     q.add_argument("--model", required=True)

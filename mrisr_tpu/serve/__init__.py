@@ -7,6 +7,12 @@ from mrisr_tpu.serve.engine import (  # noqa: F401
     InferenceEngine,
     engine_from_model,
 )
+from mrisr_tpu.serve.bundle import (  # noqa: F401
+    engine_from_bundle,
+    export_serving_bundle,
+    load_bundle,
+    save_bundle,
+)
 from mrisr_tpu.serve.quant import (  # noqa: F401
     calibrate_unet,
     quantize_unet,

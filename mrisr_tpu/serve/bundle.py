@@ -1,0 +1,206 @@
+"""Serving bundles: export a quantized (or BN-folded bf16) UNet forward to
+one portable artifact, loadable without the training checkpoint, the
+original config, or recalibration.
+
+Production-serving gap this closes: `engine_from_model` needs the Orbax
+checkpoint tree AND live calibration batches at startup; a serving fleet
+wants a single immutable artifact per deployed model.  A bundle is a
+directory with
+
+- ``arrays.npz``   — the serving param pytree, flattened with '/'-joined
+  keys (int8 weight tables + fp32 scales/biases for quantized blocks,
+  bf16 upconv/final params),
+- ``meta.json``    — model name, base features, image size, quant mode,
+  calibration description, creation info.
+
+The reference has no serving story at all (notebook cells re-load
+``*.pth`` files per run, `/root/reference/src/ModelLoader.py:642-711`);
+this is a TPU-serving addition layered on serve/quant.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_SEP = "/"
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_bundle(
+    path: str,
+    params: Dict,
+    *,
+    model_name: str,
+    quant: str,
+    base_features: int,
+    image_size: Tuple[int, int] = (256, 256),
+    calibration: Optional[str] = None,
+    extra: Optional[Dict] = None,
+) -> str:
+    """Write a serving bundle directory; returns its path.
+
+    params: the serving pytree — ``quantize_unet(...)`` output for
+    quant='int8'/'int8_fused', or a BN-folded ``{'params': ...}`` tree for
+    quant='none'.
+    """
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten(params)
+    # np.savez rejects bfloat16 — store as uint16 bit patterns + dtype tag
+    tagged = {}
+    bf16_keys = []
+    for k, v in flat.items():
+        if str(v.dtype) == "bfloat16":
+            tagged[k] = v.view(np.uint16)
+            bf16_keys.append(k)
+        else:
+            tagged[k] = v
+    np.savez(os.path.join(path, "arrays.npz"), **tagged)
+    meta = {
+        "format_version": 1,
+        "model_name": model_name,
+        "quant": quant,
+        "base_features": int(base_features),
+        "image_size": list(image_size),
+        "calibration": calibration,
+        "bf16_keys": bf16_keys,
+        **(extra or {}),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_bundle(path: str) -> Tuple[Dict, Dict]:
+    """Read a bundle -> (serving param pytree, meta dict)."""
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    import jax.numpy as jnp
+
+    bf16 = set(meta.get("bf16_keys", ()))
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        flat = {}
+        for k in z.files:
+            v = z[k]
+            if k in bf16:
+                v = jnp.asarray(v).view(jnp.bfloat16)
+            flat[k] = v
+    return _unflatten(flat), meta
+
+
+def make_bundle_apply(params: Dict, meta: Dict):
+    """Jitted ``(B, H, W, 2) -> (B, H, W, 1)`` forward for a loaded bundle."""
+    import jax
+
+    quant = meta["quant"]
+    if quant in ("int8", "int8_fused"):
+        from mrisr_tpu.serve.quant import (
+            unet_int8_apply,
+            unet_int8_fused_apply,
+        )
+
+        fwd = unet_int8_fused_apply if quant == "int8_fused" else unet_int8_apply
+        return jax.jit(lambda x: fwd(params, x))
+    # BN-folded float path
+    import jax.numpy as jnp
+
+    from mrisr_tpu.models import UNet
+
+    module = UNet(
+        features=meta["base_features"], use_bn=False,
+        dtype=jnp.bfloat16,
+    )
+    return jax.jit(
+        lambda x: module.apply(params, x, train=False).astype(jnp.float32)
+    )
+
+
+def export_serving_bundle(
+    out_path: str,
+    model_name: str = "unet",
+    models_dir: str = "models",
+    quant: str = "int8_fused",
+    calibration_batches=None,
+    percentile: Optional[float] = None,
+    cfg=None,
+    image_size: Tuple[int, int] = (256, 256),
+) -> str:
+    """Checkpoint -> BN-fold -> (optionally) quantize -> bundle on disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.api import load_model
+
+    loaded = load_model(
+        model_name, models_dir=models_dir, checkpoint="required",
+        image_size=image_size, cfg=cfg, fold_bn=True,
+    )
+    if loaded.kind != "pair":
+        raise ValueError(
+            f"serving bundles cover 2-in/1-out pair models; {model_name!r} "
+            f"is kind={loaded.kind!r}"
+        )
+    features = int(
+        loaded.variables["params"]["enc1"]["Conv_0"]["kernel"].shape[-1]
+    )
+    if quant in ("int8", "int8_fused"):
+        from mrisr_tpu.serve.quant import calibrate_unet, quantize_unet
+
+        if not calibration_batches:
+            raise ValueError("int8 bundles need calibration_batches")
+        calib = calibrate_unet(
+            loaded.variables, calibration_batches, percentile=percentile
+        )
+        params = quantize_unet(loaded.variables, calib)
+        calib_desc = (
+            f"{len(calibration_batches)} batches, "
+            + ("absmax" if percentile is None else f"p{percentile}")
+        )
+    else:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            loaded.variables,
+        )
+        calib_desc = None
+    return save_bundle(
+        out_path, params, model_name=model_name, quant=quant,
+        base_features=features, image_size=image_size,
+        calibration=calib_desc,
+    )
+
+
+def engine_from_bundle(path: str, batch_size: int = 128, **engine_kwargs):
+    """One-call serving: bundle dir -> running InferenceEngine."""
+    from mrisr_tpu.serve.engine import InferenceEngine
+
+    params, meta = load_bundle(path)
+    apply_fn = make_bundle_apply(params, meta)
+    h, w = meta["image_size"]
+    return InferenceEngine(
+        apply_fn, batch_size=batch_size, input_shape=(h, w, 2),
+        **engine_kwargs,
+    )

@@ -1,0 +1,123 @@
+"""Serving bundles (serve/bundle.py): quantize -> save -> load -> identical
+outputs, plus the bf16 (quant='none') variant and the engine entry point."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
+from mrisr_tpu.models import UNet
+from mrisr_tpu.serve import (
+    calibrate_unet,
+    engine_from_bundle,
+    load_bundle,
+    quantize_unet,
+    save_bundle,
+    unet_int8_fused_apply,
+)
+from mrisr_tpu.serve.bundle import make_bundle_apply
+
+HW = 16
+F = 4
+
+
+@pytest.fixture(scope="module")
+def folded():
+    model = UNet(features=F)
+    x = jnp.zeros((1, HW, HW, 2))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    return fold_unet_batchnorm(variables["params"], variables["batch_stats"])
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return jax.random.normal(jax.random.PRNGKey(7), (2, HW, HW, 2))
+
+
+def test_int8_bundle_roundtrip(folded, batch, tmp_path):
+    q = quantize_unet(folded, calibrate_unet(folded, [batch]))
+    y_direct = np.asarray(jax.jit(unet_int8_fused_apply)(q, batch))
+
+    path = save_bundle(
+        str(tmp_path / "b"), q, model_name="unet", quant="int8_fused",
+        base_features=F, image_size=(HW, HW), calibration="1 batch, absmax",
+    )
+    params, meta = load_bundle(path)
+    assert meta["quant"] == "int8_fused"
+    assert meta["base_features"] == F
+    # int8 weight tables survive bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(params["enc1"]["Conv_0"]["w_int8"]),
+        np.asarray(q["enc1"]["Conv_0"]["w_int8"]),
+    )
+    # bf16 upconv params survive bit-exactly through the uint16 tagging
+    assert params["final"]["kernel"].dtype == jnp.bfloat16
+    # make_bundle_apply closes the params over as jit CONSTANTS, which lets
+    # XLA fuse the bf16 float path differently than the traced-arg call —
+    # outputs agree to bf16 noise, not bit-exactly (the param tables above
+    # ARE bit-exact, which is the roundtrip contract)
+    y_loaded = np.asarray(make_bundle_apply(params, meta)(batch))
+    np.testing.assert_allclose(y_loaded, y_direct, atol=2e-2)
+
+
+def test_bf16_bundle_roundtrip(folded, batch, tmp_path):
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        folded,
+    )
+    path = save_bundle(
+        str(tmp_path / "b"), variables, model_name="unet", quant="none",
+        base_features=F, image_size=(HW, HW),
+    )
+    params, meta = load_bundle(path)
+    y = np.asarray(make_bundle_apply(params, meta)(batch))
+    module = UNet(features=F, use_bn=False, dtype=jnp.bfloat16)
+    ref = np.asarray(
+        jax.jit(lambda v, b: module.apply(v, b, train=False))(
+            variables, batch
+        )
+    )
+    np.testing.assert_allclose(y, ref, atol=2e-2)  # closure-vs-arg jit, bf16
+
+
+def test_engine_from_bundle(folded, batch, tmp_path):
+    q = quantize_unet(folded, calibrate_unet(folded, [batch]))
+    path = save_bundle(
+        str(tmp_path / "b"), q, model_name="unet", quant="int8_fused",
+        base_features=F, image_size=(HW, HW),
+    )
+    with engine_from_bundle(path, batch_size=2) as eng:
+        y = eng.predict(np.zeros((HW, HW, 2), np.float32))
+    assert y.shape == (HW, HW, 1)
+    assert np.all(np.isfinite(y))
+
+
+def test_export_serving_cli(tmp_path):
+    """End-to-end through the CLI against a tiny fresh-ish checkpoint."""
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+    from mrisr_tpu import cli
+
+    store_dir = str(tmp_path / "store")
+    make_synthetic_store(
+        store_dir, num_patients=8, slices_per_volume=8, height=16, width=16
+    )
+    # train 1 epoch so a checkpoint exists for checkpoint='required'
+    cli.main([
+        "train", "--preset", "unet", "--data", store_dir, "--epochs", "1",
+        "--batch-size", "4", "--image-size", "16", "--features", "4",
+        "--checkpoint-dir", str(tmp_path / "models"),
+        "--results-dir", str(tmp_path / "results"),
+    ])
+    cli.main([
+        "export-serving", "--model", "unet", "--data", store_dir,
+        "--image-size", "16", "--features", "4",
+        "--checkpoint-dir", str(tmp_path / "models"),
+        "--out", str(tmp_path / "bundle"),
+    ])
+    params, meta = load_bundle(str(tmp_path / "bundle"))
+    assert meta["quant"] == "int8_fused"
+    assert meta["calibration"].endswith("absmax")
+    y = make_bundle_apply(params, meta)(jnp.zeros((1, 16, 16, 2)))
+    assert y.shape == (1, 16, 16, 1)
