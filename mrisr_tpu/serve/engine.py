@@ -16,9 +16,11 @@ Design: callers submit individual requests (numpy `(H, W, 2)` slice pairs)
 from any thread and get a `Future`.  A single dispatcher thread drains the
 queue, assembles up to `batch_size` requests (waiting at most
 `max_delay_ms` for stragglers once the first request of a batch arrives),
-runs ONE jitted forward, and resolves the futures.  Model variants: plain
-bf16, BN-folded, or int8 (serve/quant.py) — any `(B, H, W, 2) -> (B, H, W,
-1)` jitted callable works.
+runs ONE jitted forward, and resolves the futures — keeping one batch in
+flight (double buffering) so host-side batch assembly and result fetch
+overlap device compute.  Model variants: plain bf16, BN-folded, or int8
+(serve/quant.py) — any `(B, H, W, 2) -> (B, H, W, 1)` jitted callable
+works.
 """
 
 from __future__ import annotations
@@ -150,10 +152,42 @@ class InferenceEngine:
             batch.append(nxt)
         return batch
 
+    def _resolve(self, pending) -> None:
+        """Fetch a dispatched batch's device result and resolve futures."""
+        dev_out, batch, t0 = pending
+        try:
+            out = np.asarray(dev_out)  # host fetch = the device sync
+        except Exception as e:
+            for p in batch:
+                p.future.set_exception(e)
+            return
+        dt = time.perf_counter() - t0
+        n = len(batch)
+        self.stats.requests += n
+        self.stats.batches += 1
+        self.stats.padded_slots += self.batch_size - n
+        self.stats.total_batch_time_s += dt
+        for i, p in enumerate(batch):
+            p.future.set_result(out[i])
+
     def _loop(self):
+        # Double-buffered dispatch: JAX dispatch is asynchronous — the
+        # jitted call returns device arrays immediately and only the host
+        # fetch (np.asarray) synchronizes.  Keeping ONE batch in flight
+        # lets the host assemble + dispatch batch N+1 while the device is
+        # still computing batch N, so under sustained load the device never
+        # idles on host work.  A lone request still resolves immediately:
+        # with an empty queue the pending batch is fetched before blocking.
+        pending = None
         while True:
+            if pending is not None and self._queue.empty():
+                self._resolve(pending)
+                pending = None
+                continue
             batch = self._collect()
             if batch is None:
+                if pending is not None:
+                    self._resolve(pending)
                 return
             n = len(batch)
             xs = np.stack([p.x for p in batch])
@@ -164,18 +198,14 @@ class InferenceEngine:
                 xs = np.tile(xs, (reps, 1, 1, 1))[: self.batch_size]
             t0 = time.perf_counter()
             try:
-                out = np.asarray(self._apply(xs))
+                dev_out = self._apply(xs)  # async dispatch, no sync here
             except Exception as e:  # resolve, don't kill the dispatcher
                 for p in batch:
                     p.future.set_exception(e)
                 continue
-            dt = time.perf_counter() - t0
-            self.stats.requests += n
-            self.stats.batches += 1
-            self.stats.padded_slots += self.batch_size - n
-            self.stats.total_batch_time_s += dt
-            for i, p in enumerate(batch):
-                p.future.set_result(out[i])
+            if pending is not None:
+                self._resolve(pending)
+            pending = (dev_out, batch, t0)
 
 
 def engine_from_model(
