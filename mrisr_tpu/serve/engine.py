@@ -252,6 +252,13 @@ def engine_from_model(
             unet_int8_fused_apply,
         )
 
+        if "enc1" not in loaded.variables.get("params", {}):
+            # quantize_unet walks the UNet block names (enc*/dec*/bottleneck)
+            raise ValueError(
+                "int8 serving covers the UNet-family topology; "
+                f"{model_name!r} has no enc1 block — serve it with "
+                "quant='none'"
+            )
         if not calibration_batches:
             raise ValueError("int8 serving requires calibration_batches")
         qparams = quantize_unet(
