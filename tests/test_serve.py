@@ -178,19 +178,37 @@ def test_engine_from_model_rejects_window_models(tmp_path):
 
 
 @pytest.mark.parametrize("quant", ["int8", "int8_fused"])
-def test_engine_from_model_quantized(tmp_path, quant):
+@pytest.mark.parametrize("model_name", ["unet", "unet_gan"])
+def test_engine_from_model_quantized(tmp_path, quant, model_name):
     """Both int8 serving variants run end-to-end through engine_from_model
-    (fresh tiny UNet; calibration batches supplied)."""
+    for both UNet-family topologies (bias and bias-free/GAN generator;
+    fresh tiny weights, calibration batches supplied)."""
     from mrisr_tpu.config import ModelConfig
     from mrisr_tpu.serve.engine import engine_from_model
 
     rng = np.random.RandomState(7)
     calib = [rng.rand(4, 16, 16, 2).astype(np.float32)]
     with engine_from_model(
-        "unet", models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
+        model_name, models_dir=str(tmp_path),
+        cfg=ModelConfig(name=model_name, base_features=4),
         image_size=(16, 16), batch_size=4, quant=quant,
         calibration_batches=calib,
     ) as eng:
         y = eng.predict(rng.rand(16, 16, 2).astype(np.float32))
     assert y.shape == (16, 16, 1)
     assert np.all(np.isfinite(y))
+
+
+def test_engine_quant_rejects_non_unet(tmp_path):
+    """int8 serving names the UNet block structure; deepcnn must be
+    rejected with a clear message, not a KeyError."""
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    with pytest.raises(ValueError, match="UNet-family"):
+        engine_from_model(
+            "deepcnn", models_dir=str(tmp_path),
+            cfg=ModelConfig(name="deepcnn", base_features=4),
+            image_size=(16, 16), batch_size=4, quant="int8",
+            calibration_batches=[np.zeros((1, 16, 16, 2), np.float32)],
+        )
