@@ -1,0 +1,131 @@
+"""Fast-DDPM T=10 sampling throughput sweep.
+
+The reference sampled in a per-step Python loop with `empty_cache()` every
+batch (`notebooks/FastDDPM_Training_Fixed.ipynb:cell13`); the rebuild's
+sampler is ONE jitted `lax.scan` of 10 conditioned UNet forwards
+(models/diffusion.py:sample_ancestral).  Round-1 recorded ~60 slices/s at
+batch 16 without sweeping; this measures batch scaling.
+
+Timing on the axon tunnel follows bench.py rules: the sampler is a single
+compiled program; inputs are generated ON DEVICE (the tunnel's host->device
+path is ~5.6 MB/s — uploading a real batch would measure the network);
+the host fetch of a scalar is the sync.
+
+Per-slice FLOPs: XLA cost analysis counts a scan body ONCE, so the
+reported ``gflops_per_slice`` is cost_flops/batch x num_steps — the
+10 sequential forwards a sample actually costs (+ the epsilon/posterior
+arithmetic, which rides in the same body).
+
+  python benchmarks/diffusion_sampling.py [--batch-sizes 16,64,128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def bench_sampling(batch_size: int, image_size: int = 256,
+                   repeats: int = 2) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.config import PRESETS
+    from mrisr_tpu.models.diffusion import (
+        DiffusionSchedule,
+        FastDDPMUNet,
+        sample_ancestral,
+    )
+
+    mcfg = PRESETS["fastddpm"].model
+    model = FastDDPMUNet(
+        base_features=mcfg.base_features, time_dim=mcfg.time_dim,
+        dtype=jnp.bfloat16,
+    )
+    hw = image_size
+    x0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+    variables = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables,
+    )
+    schedule = DiffusionSchedule.create(
+        num_timesteps=mcfg.num_timesteps,
+        num_inference_steps=mcfg.num_inference_steps,
+        beta_schedule=mcfg.beta_schedule,
+        selection=mcfg.timestep_selection,
+    )
+
+    def eps_fn(x_in, t):
+        return model.apply(variables, x_in, t)
+
+    @jax.jit
+    def run(key):
+        # cond generated on device (see module docstring)
+        cond = jax.random.normal(key, (batch_size, hw, hw, 2), jnp.float32)
+        out = sample_ancestral(
+            eps_fn, cond, key, schedule, num_samples=1, combine="first"
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    compiled = run.lower(jax.random.PRNGKey(1)).compile()
+    gflops_per_slice = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        gflops_per_slice = (
+            float(cost["flops"]) / batch_size / 1e9
+            * schedule.num_inference_steps
+        )
+    except Exception:
+        pass
+    _ = float(run(jax.random.PRNGKey(1)))  # warm
+
+    best = None
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(run(jax.random.PRNGKey(2 + r)))  # distinct dispatches
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    slices_per_sec = batch_size / best
+    out = {
+        "metric": "fastddpm_t10_sampling_slices_per_sec",
+        "batch_size": batch_size,
+        "value": round(slices_per_sec, 2),
+        "unit": f"{image_size}x{image_size} slices/s",
+    }
+    if gflops_per_slice is not None:
+        achieved = slices_per_sec * gflops_per_slice / 1e3
+        out["gflops_per_slice"] = round(gflops_per_slice, 1)
+        out["achieved_tflops"] = round(achieved, 1)
+        out["mfu"] = round(achieved / V5E_BF16_PEAK_TFLOPS, 3)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-sizes", default="16,64,128")
+    p.add_argument("--image-size", type=int, default=256)
+    args = p.parse_args()
+    for bs in (int(b) for b in args.batch_sizes.split(",")):
+        try:
+            print(json.dumps(bench_sampling(bs, args.image_size)))
+        except Exception as e:
+            print(json.dumps({
+                "metric": "fastddpm_t10_sampling_slices_per_sec",
+                "batch_size": bs, "error": type(e).__name__,
+                "detail": str(e)[:200],
+            }))
+
+
+if __name__ == "__main__":
+    main()
