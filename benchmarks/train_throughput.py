@@ -30,15 +30,33 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
+def _make_trainer(cfg, hw):
+    if cfg.loss.kind == "gan":
+        from mrisr_tpu.losses.perceptual import make_perceptual_fn
+        from mrisr_tpu.train import GANTrainer
+
+        return GANTrainer(
+            cfg, perceptual_fn=make_perceptual_fn(cfg.loss.perceptual),
+            image_size=hw,
+        )
+    if cfg.loss.kind == "diffusion":
+        from mrisr_tpu.train import DiffusionTrainer
+
+        return DiffusionTrainer(cfg, image_size=hw)
+    from mrisr_tpu.train import SupervisedTrainer
+
+    return SupervisedTrainer(cfg, image_size=hw)
+
+
 def bench_batch_size(store, batch_size: int, image_size: int,
-                     epochs_timed: int) -> dict:
+                     epochs_timed: int, preset: str = "unet") -> dict:
     import jax
 
     from mrisr_tpu.config import PRESETS
     from mrisr_tpu.data.pipeline import build_loader
-    from mrisr_tpu.train import SupervisedTrainer
+    from mrisr_tpu.train.trainer import SupervisedTrainer
 
-    base = PRESETS["unet"]
+    base = PRESETS[preset]
     cfg = dataclasses.replace(
         base,
         data=dataclasses.replace(
@@ -48,37 +66,41 @@ def bench_batch_size(store, batch_size: int, image_size: int,
         train=dataclasses.replace(base.train, compute_dtype="bfloat16"),
     )
     hw = cfg.data.image_size
-    trainer = SupervisedTrainer(cfg, image_size=hw)
-    loader = build_loader(store, "train", cfg.data, backend="device")
+    trainer = _make_trainer(cfg, hw)
+    kind = "window" if cfg.model.name == "progressive_unet" else "triplet"
+    loader = build_loader(store, "train", cfg.data, kind=kind,
+                          backend="device")
     trainer.enable_device_epochs(loader.bank, loader.plan_flat)
     runner = trainer._device_runner
 
     key = jax.random.PRNGKey(0)
     flops_per_slice = None
-    try:
-        lowered = runner._epoch.lower(
-            trainer.state, runner.flat, runner.plan, key
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_slice = float(cost["flops"]) / batch_size / 1e9
-    except Exception:
-        pass
+    if isinstance(trainer, SupervisedTrainer):
+        # scan bodies are counted once by cost analysis -> one fused step
+        try:
+            lowered = runner._epoch.lower(
+                trainer.state, runner.flat, runner.plan, key
+            )
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_slice = float(cost["flops"]) / batch_size / 1e9
+        except Exception:
+            pass
 
-    state, m = runner.run_epoch(trainer.state, key)  # compile + warm
-    _ = float(m["loss"])
+    m = trainer.run_epoch(None, train=True, epoch=0)  # compile + warm
     slices_per_epoch = runner.steps_per_epoch * batch_size
 
     t0 = time.perf_counter()
     for e in range(epochs_timed):
-        state, m = runner.run_epoch(state, jax.random.fold_in(key, e + 1))
-    _ = float(m["loss"])  # host fetch = the only real sync on the tunnel
+        m = trainer.run_epoch(None, train=True, epoch=e + 1)
+    # run_epoch converts metrics to float -> already synced per epoch
+    assert "loss" in m or m, m
     dt = (time.perf_counter() - t0) / epochs_timed
 
     slices_per_sec = slices_per_epoch / dt
     out = {
-        "metric": "unet_train_slices_per_sec_per_chip",
+        "metric": f"{preset}_train_slices_per_sec_per_chip",
         "batch_size": batch_size,
         "steps_per_epoch": runner.steps_per_epoch,
         "value": round(slices_per_sec, 1),
@@ -98,6 +120,9 @@ def main():
     p.add_argument("--batch-sizes", default="32,64,96,128")
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--epochs-timed", type=int, default=2)
+    p.add_argument("--preset", default="unet",
+                   help="any training preset: unet / deepcnn / unet_gan / "
+                        "progressive_unet / fastddpm / ...")
     args = p.parse_args()
 
     from mrisr_tpu.data.volumes import VolumeStore
@@ -106,10 +131,11 @@ def main():
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         try:
             print(json.dumps(bench_batch_size(
-                store, bs, args.image_size, args.epochs_timed)))
+                store, bs, args.image_size, args.epochs_timed,
+                preset=args.preset)))
         except Exception as e:  # e.g. OOM at large batch: report, continue
             print(json.dumps({
-                "metric": "unet_train_slices_per_sec_per_chip",
+                "metric": f"{args.preset}_train_slices_per_sec_per_chip",
                 "batch_size": bs, "error": type(e).__name__,
                 "detail": str(e)[:200],
             }))

@@ -163,7 +163,7 @@ def load_model(
     # (ckpt/fold_bn.py) — numerically exact, removes 18 elementwise passes
     if (
         fold_bn
-        and name in ("unet", "unet_combined", "unet_gan")
+        and name in ("unet", "unet_combined", "unet_gan", "unet_distilled")
         and variables.get("batch_stats")
     ):
         from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
@@ -174,7 +174,11 @@ def load_model(
         )
         module = _UNet(
             out_channels=(cfg or ModelConfig()).out_channels,
-            features=(cfg or ModelConfig()).base_features,
+            # read the width from the weights, not the (possibly defaulted)
+            # cfg — the unet_distilled student is narrower than 64
+            features=int(
+                variables["params"]["enc1"]["Conv_0"]["kernel"].shape[-1]
+            ),
             use_bias=(name != "unet_gan"),
             use_bn=False,
             dtype=module.dtype,

@@ -125,7 +125,12 @@ def make_bundle_apply(params: Dict, meta: Dict):
 
         fwd = unet_int8_fused_apply if quant == "int8_fused" else unet_int8_apply
         return jax.jit(lambda x: fwd(params, x))
-    # BN-folded float path
+    # BN-folded float path: this rebuilds UNet(use_bn=False), so the bundle
+    # MUST hold a folded UNet-family tree — Flax would silently ignore
+    # leftover BatchNorm params and serve a wrong forward otherwise
+    from mrisr_tpu.serve.quant import _require_folded_unet
+
+    _require_folded_unet(params.get("params", {}), "make_bundle_apply")
     import jax.numpy as jnp
 
     from mrisr_tpu.models import UNet
@@ -164,6 +169,13 @@ def export_serving_bundle(
             f"serving bundles cover 2-in/1-out pair models; {model_name!r} "
             f"is kind={loaded.kind!r}"
         )
+    from mrisr_tpu.serve.quant import _require_folded_unet
+
+    # bundles always rebuild the UNet-family forward at load time, so the
+    # float path has the same topology requirement as the int8 path
+    _require_folded_unet(
+        loaded.variables.get("params", {}), "export_serving_bundle"
+    )
     features = int(
         loaded.variables["params"]["enc1"]["Conv_0"]["kernel"].shape[-1]
     )

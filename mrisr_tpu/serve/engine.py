@@ -89,6 +89,8 @@ class InferenceEngine:
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self.stats = EngineStats()
         self._closed = False
+        self._close_lock = threading.Lock()
+        self._busy_until = 0.0  # end of the last accounted busy interval
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -96,15 +98,19 @@ class InferenceEngine:
     def submit(self, x: np.ndarray) -> Future:
         """Enqueue one `(H, W, C_in)` request; returns a Future of
         `(H, W, C_out)`."""
-        if self._closed:
-            raise RuntimeError("engine is closed")
         x = np.asarray(x, np.float32)
         if x.shape != self.input_shape:
             raise ValueError(
                 f"request shape {x.shape} != engine input {self.input_shape}"
             )
         item = _Pending(x=x, future=Future())
-        self._queue.put(item)
+        # lock against close(): without it a request enqueued between the
+        # closed-check and put() could land after the close sentinel and
+        # never resolve
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._queue.put(item)
         return item.future
 
     def predict(self, x: np.ndarray) -> np.ndarray:
@@ -116,10 +122,12 @@ class InferenceEngine:
         return [f.result() for f in futures]
 
     def close(self):
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._thread.join()
+        self._thread.join()
 
     def __enter__(self):
         return self
@@ -152,6 +160,19 @@ class InferenceEngine:
             batch.append(nxt)
         return batch
 
+    @staticmethod
+    def _set(future: Future, *, result=None, exception=None) -> None:
+        """Resolve a future, tolerating client-side cancellation — a raised
+        InvalidStateError here would kill the dispatcher thread and hang
+        every later request."""
+        try:
+            if exception is not None:
+                future.set_exception(exception)
+            else:
+                future.set_result(result)
+        except Exception:
+            pass  # future was cancelled by the client; nothing to deliver
+
     def _resolve(self, pending) -> None:
         """Fetch a dispatched batch's device result and resolve futures."""
         dev_out, batch, t0 = pending
@@ -159,16 +180,20 @@ class InferenceEngine:
             out = np.asarray(dev_out)  # host fetch = the device sync
         except Exception as e:
             for p in batch:
-                p.future.set_exception(e)
+                self._set(p.future, exception=e)
             return
-        dt = time.perf_counter() - t0
+        now = time.perf_counter()
         n = len(batch)
         self.stats.requests += n
         self.stats.batches += 1
         self.stats.padded_slots += self.batch_size - n
-        self.stats.total_batch_time_s += dt
+        # under double buffering batch N resolves after batch N+1 was
+        # dispatched, so [t0, now] intervals OVERLAP; accumulate only the
+        # non-overlapping part so slices_per_sec reflects wall-clock
+        self.stats.total_batch_time_s += now - max(t0, self._busy_until)
+        self._busy_until = now
         for i, p in enumerate(batch):
-            p.future.set_result(out[i])
+            self._set(p.future, result=out[i])
 
     def _loop(self):
         # Double-buffered dispatch: JAX dispatch is asynchronous — the
@@ -201,7 +226,7 @@ class InferenceEngine:
                 dev_out = self._apply(xs)  # async dispatch, no sync here
             except Exception as e:  # resolve, don't kill the dispatcher
                 for p in batch:
-                    p.future.set_exception(e)
+                    self._set(p.future, exception=e)
                 continue
             if pending is not None:
                 self._resolve(pending)
@@ -217,6 +242,7 @@ def engine_from_model(
     calibration_batches: Optional[List] = None,
     cfg=None,
     data_parallel: bool = False,
+    require_checkpoint: bool = True,
     **engine_kwargs,
 ) -> InferenceEngine:
     """Build a serving engine from a checkpoint.
@@ -235,9 +261,14 @@ def engine_from_model(
 
     from mrisr_tpu.api import load_model
 
+    # require_checkpoint=True by default: load_model's fresh-weight
+    # fallback is useful for tests, but a serving engine quietly built on
+    # random weights (typo'd models_dir, unsynced checkpoint) would serve
+    # garbage with no error
     loaded = load_model(
         model_name, models_dir=models_dir, image_size=image_size,
         cfg=cfg, fold_bn=True,
+        checkpoint="required" if require_checkpoint else None,
     )
     if loaded.kind != "pair":
         raise ValueError(
@@ -292,9 +323,11 @@ def engine_from_model(
         )
 
         def apply_fn(x, _fwd=sharded_fwd, _sh=sharding):
-            # place each micro-batch sharded on 'data'; GSPMD runs the
-            # forward per shard, params replicated; gather once at the end
-            return _fwd(jax.device_put(jnp.asarray(x), _sh))
+            # place each micro-batch sharded on 'data' straight from the
+            # host numpy array (wrapping in jnp.asarray first would commit
+            # the whole batch to device 0 and re-distribute it); GSPMD runs
+            # the forward per shard, params replicated; gather at the end
+            return _fwd(jax.device_put(x, _sh))
 
     return InferenceEngine(
         apply_fn, batch_size=batch_size,

@@ -38,6 +38,26 @@ _BLOCKS_DOWN = ("enc1", "enc2", "enc3", "enc4")
 _BLOCKS_UP = ("dec4", "dec3", "dec2", "dec1")
 
 
+def _require_folded_unet(params: Dict, who: str) -> None:
+    """Reject trees that are not a BN-FOLDED UNet.
+
+    Quantizing an UNFOLDED tree silently drops BatchNorm (these walkers
+    only read Conv_0/Conv_1), producing a wrong-but-finite forward — the
+    worst failure mode for a serving path."""
+    if "enc1" not in params:
+        raise ValueError(
+            f"{who} expects the UNet-family topology (enc*/dec*/bottleneck "
+            "blocks); got keys " + str(sorted(params)[:6])
+        )
+    for name, sub in params.items():
+        if isinstance(sub, dict) and "BatchNorm_0" in sub:
+            raise ValueError(
+                f"{who} expects a BN-FOLDED tree (ckpt/fold_bn.py) but "
+                f"{name!r} still contains BatchNorm params — fold first "
+                "(api.load_model(..., fold_bn=True))"
+            )
+
+
 def _conv3x3(x, kernel, *, preferred=None):
     return jax.lax.conv_general_dilated(
         x, kernel, (1, 1), "SAME", dimension_numbers=_DN,
@@ -108,6 +128,7 @@ def calibrate_unet(
     activation outlier tail, usually a smaller SSIM delta — measure with
     benchmarks/int8_accuracy.py before serving either way.
     """
+    _require_folded_unet(variables["params"], "calibrate_unet")
     fwd = jax.jit(
         lambda p, x: _unet_float_with_stats(
             p, x, dtype=dtype, percentile=percentile)[1]
@@ -129,6 +150,7 @@ def quantize_unet(variables: Dict, calib: Dict[str, float]) -> Dict:
     the untouched fp upconv/final entries.
     """
     params = variables["params"]
+    _require_folded_unet(params, "quantize_unet")
     out: Dict = {}
     for name, sub in params.items():
         if name.startswith(("enc", "dec", "bottleneck")):
@@ -253,9 +275,7 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
 def _int8_block(q, x, dtype):
     for cn in ("Conv_0", "Conv_1"):
         lq = q[cn]
-        xi = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / lq["a_scale"]), -127, 127
-        ).astype(jnp.int8)
+        xi = _quant_input(x, lq["a_scale"])
         y = _conv3x3(xi, lq["w_int8"], preferred=jnp.int32)
         x = y.astype(jnp.float32) * lq["scale"] + lq["bias"]
         x = nn.relu(x).astype(dtype)

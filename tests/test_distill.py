@@ -74,6 +74,21 @@ def test_distill_training_decreases_loss(store, tmp_path):
     y = loaded.predict_nhwc(x)
     assert y.shape == (2, *HW, 1)
 
+    # fold_bn must cover the student too (api.py fold list): int8 serving
+    # quantizes the folded tree, and an unfolded one would silently drop BN
+    folded = load_model(
+        "unet_distilled", models_dir=cfg.train.checkpoint_dir,
+        cfg=cfg.model, image_size=HW, checkpoint="required", fold_bn=True,
+    )
+    assert not folded.variables.get("batch_stats")
+    assert "BatchNorm_0" not in folded.variables["params"]["enc1"]
+    xr = jax.random.normal(jax.random.PRNGKey(3), (2, *HW, 2))
+    np.testing.assert_allclose(
+        np.asarray(folded.predict_nhwc(xr)),
+        np.asarray(loaded.predict_nhwc(xr)),
+        atol=1e-4,
+    )
+
 
 def test_distill_registry_default_width():
     """With no explicit cfg, unet_distilled must build at the preset's

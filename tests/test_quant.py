@@ -114,6 +114,20 @@ def test_int8_fused_matches_plain(folded, batch):
     assert rel_pair < 0.1, rel_pair
 
 
+def test_quantize_rejects_unfolded_tree(batch):
+    """Quantizing a tree that still has BatchNorm would silently drop BN
+    (the walkers only read Conv_0/Conv_1) — must raise instead."""
+    model = UNet(features=F)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 2)), train=False
+    )
+    unfolded = {"params": variables["params"]}
+    with pytest.raises(ValueError, match="BN-FOLDED"):
+        calibrate_unet(unfolded, [batch])
+    with pytest.raises(ValueError, match="BN-FOLDED"):
+        quantize_unet(unfolded, {})
+
+
 def test_percentile_calibration(folded, batch):
     """p99.9 scales are <= absmax scales (outlier tail clipped) and the
     quantized forward stays finite and close to float."""

@@ -146,6 +146,7 @@ def test_engine_data_parallel_matches_single_device(tmp_path):
     kwargs = dict(
         models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
         image_size=(16, 16), batch_size=8, max_delay_ms=20.0,
+        require_checkpoint=False,  # fresh weights are the fixture here
     )
     with engine_from_model("unet", **kwargs) as single:
         ys_single = single.predict_many(xs)
@@ -163,6 +164,7 @@ def test_engine_data_parallel_batch_divisibility(tmp_path):
         engine_from_model(
             "unet", models_dir=str(tmp_path), cfg=ModelConfig(base_features=4),
             image_size=(16, 16), batch_size=6, data_parallel=True,
+            require_checkpoint=False,
         )
 
 
@@ -174,6 +176,7 @@ def test_engine_from_model_rejects_window_models(tmp_path):
         engine_from_model(
             "progressive_unet", models_dir=str(tmp_path),
             image_size=(16, 16), cfg=ModelConfig(base_features=4),
+            require_checkpoint=False,
         )
 
 
@@ -192,7 +195,7 @@ def test_engine_from_model_quantized(tmp_path, quant, model_name):
         model_name, models_dir=str(tmp_path),
         cfg=ModelConfig(name=model_name, base_features=4),
         image_size=(16, 16), batch_size=4, quant=quant,
-        calibration_batches=calib,
+        calibration_batches=calib, require_checkpoint=False,
     ) as eng:
         y = eng.predict(rng.rand(16, 16, 2).astype(np.float32))
     assert y.shape == (16, 16, 1)
@@ -211,4 +214,41 @@ def test_engine_quant_rejects_non_unet(tmp_path):
             cfg=ModelConfig(name="deepcnn", base_features=4),
             image_size=(16, 16), batch_size=4, quant="int8",
             calibration_batches=[np.zeros((1, 16, 16, 2), np.float32)],
+            require_checkpoint=False,
         )
+
+
+def test_engine_requires_checkpoint_by_default(tmp_path):
+    """A typo'd/empty models_dir must fail loudly, not serve random
+    weights (production default)."""
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.serve.engine import engine_from_model
+
+    with pytest.raises(FileNotFoundError):
+        engine_from_model(
+            "unet", models_dir=str(tmp_path / "nope"),
+            cfg=ModelConfig(base_features=4), image_size=(16, 16),
+        )
+
+
+def test_cancelled_future_does_not_kill_dispatcher():
+    """A client-cancelled Future must not raise InvalidStateError inside
+    the dispatcher thread (that would hang every later request)."""
+    import time as _time
+
+    slow_gate = threading.Event()
+
+    def slow_apply(x):
+        slow_gate.wait(timeout=5)
+        return np.mean(x, axis=-1, keepdims=True)
+
+    with InferenceEngine(
+        slow_apply, batch_size=1, input_shape=SHAPE, max_delay_ms=0.0
+    ) as eng:
+        fut = eng.submit(np.zeros(SHAPE, np.float32))
+        assert fut.cancel() or True  # cancel (succeeds while queued/pending)
+        slow_gate.set()
+        _time.sleep(0.05)
+        # dispatcher survived: a fresh request still resolves
+        y = eng.predict(np.ones(SHAPE, np.float32))
+        assert y.shape == (8, 8, 1)
