@@ -29,7 +29,7 @@ demo checkpoint (results_demo/int8_accuracy.json).  Measured v5e ladder
 at batch 128: bf16 1,627 (77.8% MFU) -> int8 2,246 -> int8_fused 2,644
 (1.27x the bf16 dense peak).  ``--quant none`` reproduces the bf16
 number.  The width-32 distilled student (serve/distill.py,
-``--features 32``) measures 7,146 slices/s with int8_fused at batch 256
+``--features 32``) measures 7,599 slices/s with int8_fused at batch 384
 — past the 5k target — at a measured accuracy cost vs its teacher
 (BASELINE.md); it is NOT the default because it changes the weights.
 
