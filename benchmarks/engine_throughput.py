@@ -27,7 +27,6 @@ import argparse
 import json
 import pathlib
 import sys
-import threading
 import time
 
 import numpy as np
@@ -94,21 +93,16 @@ def main():
         max_delay_ms=2.0,
     )
     rng = np.random.RandomState(0)
-    # a small pool of distinct inputs (distinct dispatches for the tunnel's
-    # dispatch cache; cheap to index per request)
+    # small input pool, perturbed per request: with an UNperturbed pool
+    # whose size divides the batch size, every assembled batch would be
+    # byte-identical and the tunnel's dispatch cache could serve repeats
     pool = [rng.rand(hw, hw, 2).astype(np.float32) for _ in range(16)]
-    futures = []
-
-    def feeder():
-        for i in range(args.requests):
-            futures.append(eng.submit(pool[i % len(pool)]))
 
     t0 = time.perf_counter()
-    th = threading.Thread(target=feeder)
-    th.start()
-    th.join()
-    while len(futures) < args.requests:
-        time.sleep(0.001)
+    futures = [
+        eng.submit(pool[i % len(pool)] + np.float32(i) * np.float32(1e-6))
+        for i in range(args.requests)
+    ]
     for f in futures:
         f.result(timeout=600)
     dt = time.perf_counter() - t0

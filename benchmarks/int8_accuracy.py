@@ -51,11 +51,26 @@ def main():
     )
     folded = loaded.variables
 
-    # calibration: a few val batches (absmax per conv input)
-    import dataclasses
+    # the baseline must BE the bf16 serving forward (bench.py runs
+    # UNet(dtype=bfloat16) on bf16-resident params) — load_model's module
+    # is fp32, which would silently shift every delta to "vs fp32"
+    import jax.numpy as jnp
 
-    val_cfg = dataclasses.replace(data_cfg, augment=False)
-    val_loader = build_loader(store, "val", val_cfg)
+    from mrisr_tpu.models import UNet
+
+    bf16_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        folded,
+    )
+    features = int(folded["params"]["enc1"]["Conv_0"]["kernel"].shape[-1])
+    bf16_module = UNet(features=features, use_bn=False, dtype=jnp.bfloat16)
+    bf16_fwd = jax.jit(
+        lambda x: bf16_module.apply(bf16_vars, x, train=False).astype(
+            jnp.float32)
+    )
+
+    # calibration: a few val batches (absmax per conv input)
+    val_loader = build_loader(store, "val", data_cfg)
     calib_batches = []
     for i, batch in enumerate(val_loader):
         if i >= 4:
@@ -67,7 +82,7 @@ def main():
     )
 
     variants = {
-        "bf16": loaded.predict_nhwc,
+        "bf16": bf16_fwd,
         "int8_absmax": jax.jit(lambda x: unet_int8_apply(q_absmax, x)),
         "int8_p99.9": jax.jit(lambda x: unet_int8_apply(q_p999, x)),
         "int8_fused_absmax": jax.jit(

@@ -45,7 +45,14 @@ def _make_trainer(cfg, hw):
         return DiffusionTrainer(cfg, image_size=hw)
     from mrisr_tpu.train import SupervisedTrainer
 
-    return SupervisedTrainer(cfg, image_size=hw)
+    perceptual_fn = None
+    if cfg.loss.kind == "combined":
+        # real training pays the perceptual forward+backward — omitting it
+        # here would over-report unet_combined throughput
+        from mrisr_tpu.losses.perceptual import make_perceptual_fn
+
+        perceptual_fn = make_perceptual_fn(cfg.loss.perceptual)
+    return SupervisedTrainer(cfg, perceptual_fn=perceptual_fn, image_size=hw)
 
 
 def bench_batch_size(store, batch_size: int, image_size: int,

@@ -183,7 +183,26 @@ def load_model(
             use_bn=False,
             dtype=module.dtype,
         )
-    return LoadedModel(name=name, module=module, variables=variables, kind=kind)
+    schedule = None
+    if kind == "diffusion" and name != "fastddpm_simple":
+        # build the sampling schedule from the model's CONFIG — the
+        # trained fastddpm presets use cosine β (config.py notes the
+        # reference's training loop actually did), and sampling with
+        # LoadedModel's former create() default (linear) silently
+        # mismatched the trained posterior
+        from mrisr_tpu.config import PRESETS
+
+        mcfg = cfg or (
+            PRESETS[name].model if name in PRESETS else ModelConfig(name=name)
+        )
+        schedule = DiffusionSchedule.create(
+            num_timesteps=mcfg.num_timesteps,
+            num_inference_steps=mcfg.num_inference_steps,
+            beta_schedule=mcfg.beta_schedule,
+            selection=mcfg.timestep_selection,
+        )
+    return LoadedModel(name=name, module=module, variables=variables,
+                       kind=kind, schedule=schedule)
 
 
 def _load_orbax(path: str, template_variables: dict) -> dict:

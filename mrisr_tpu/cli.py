@@ -24,10 +24,12 @@ def _add_common_train_args(p):
     p.add_argument("--data", required=True, help="packed VolumeStore dir")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--image-size", type=int, default=256)
+    # None = "not passed": the preset (or --config file) value is kept;
+    # effective defaults are 256 / 'models' / 'results' via the presets
+    p.add_argument("--image-size", type=int, default=None)
     p.add_argument("--distance", type=int, default=None, choices=(2, 4))
-    p.add_argument("--checkpoint-dir", default="models")
-    p.add_argument("--results-dir", default="results")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--results-dir", default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--backend", default="host", choices=("host", "device"))
@@ -47,24 +49,34 @@ def _build_config(args, preset_name):
             cfg = Config.from_dict(json.load(f))
     else:
         cfg = PRESETS[preset_name]
+    # CLI flags override only when EXPLICITLY passed (defaults are None),
+    # so a --config file's image_size/checkpoint_dir/results_dir stick
     data = dataclasses.replace(
         cfg.data,
         root=args.data,
-        image_size=(args.image_size, args.image_size),
+        **({"image_size": (args.image_size, args.image_size)}
+           if args.image_size else {}),
         **({"batch_size": args.batch_size} if args.batch_size else {}),
         **({"distance_filter": args.distance} if args.distance else {}),
     )
     train = dataclasses.replace(
         cfg.train,
-        checkpoint_dir=args.checkpoint_dir,
-        results_dir=args.results_dir,
+        **({"checkpoint_dir": args.checkpoint_dir}
+           if args.checkpoint_dir else {}),
+        **({"results_dir": args.results_dir} if args.results_dir else {}),
         **({"epochs": args.epochs} if args.epochs else {}),
         **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
     )
     model = cfg.model
     if getattr(args, "features", None):
         model = dataclasses.replace(model, base_features=args.features)
-    return dataclasses.replace(cfg, data=data, train=train, model=model)
+    cfg = dataclasses.replace(cfg, data=data, train=train, model=model)
+    # reflect the effective values back onto args: several commands use
+    # args.checkpoint_dir / args.results_dir directly
+    args.checkpoint_dir = cfg.train.checkpoint_dir
+    args.results_dir = cfg.train.results_dir
+    args.image_size = cfg.data.image_size[0]
+    return cfg
 
 
 def cmd_extract(args):
@@ -428,8 +440,15 @@ def cmd_triplet_figure(args):
     candidates = store.series_for_patients(test_patients)
     rng = random.Random(args.seed)
     rng.shuffle(candidates)
+    if not candidates:
+        print("no test-set series found", file=sys.stderr)
+        sys.exit(1)
     vol = normalize_volume(np.asarray(store.load_series(candidates[0])))
     z = vol.shape[0]
+    if z < 7:
+        print(f"volume has only {z} slices; need >= 7 for a mid-volume "
+              "triplet", file=sys.stderr)
+        sys.exit(1)
     # mid-volume triplet, seeded (reference picks a random central one)
     i = rng.randrange(z // 4, 3 * z // 4 - 2)
     pre, gt, post = vol[i], vol[i + 1], vol[i + 2]
@@ -442,6 +461,12 @@ def cmd_triplet_figure(args):
         model = load_model(name, models_dir=args.checkpoint_dir,
                            cfg=cfg.model, image_size=hw,
                            checkpoint=None if args.allow_fresh else "required")
+        if model.kind == "window":
+            # the V10 grid is per-triplet (2-in/1-out); the reference's
+            # figure likewise has no progressive column
+            print(f"(skipping {name}: 5-slice-window models have no "
+                  "single-triplet prediction)")
+            continue
         x = jnp.stack([jnp.asarray(pre), jnp.asarray(post)], axis=-1)[None]
         preds[name] = np.asarray(model.predict_nhwc(x))[0, ..., 0]
     path = triplet_grid_figure(pre, post, gt, preds, save_path=args.figure)

@@ -202,3 +202,72 @@ def test_eval_refuses_fresh_weights(tmp_path):
             "--checkpoint-dir", str(tmp_path / "nonexistent"),
             "--results-dir", str(tmp_path / "results"),
         ])
+
+
+def test_config_file_fields_stick(tmp_path):
+    """--config JSON values for image_size/checkpoint_dir/results_dir must
+    survive when the CLI flags are not passed (they used to be clobbered
+    by the argparse defaults)."""
+    import dataclasses
+
+    from mrisr_tpu import cli
+    from mrisr_tpu.config import PRESETS
+
+    base = PRESETS["unet"]
+    custom = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, image_size=(128, 128)),
+        train=dataclasses.replace(
+            base.train, checkpoint_dir="ckpts_custom",
+            results_dir="res_custom",
+        ),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(custom.to_json())
+
+    class Args:
+        config = str(cfg_path)
+        data = "/tmp/nowhere"
+        image_size = None
+        batch_size = None
+        distance = None
+        checkpoint_dir = None
+        results_dir = None
+        epochs = None
+        bf16 = False
+        features = None
+
+    args = Args()
+    cfg = cli._build_config(args, "unet")
+    assert cfg.data.image_size == (128, 128)
+    assert cfg.train.checkpoint_dir == "ckpts_custom"
+    assert cfg.train.results_dir == "res_custom"
+    # args now reflect the effective values for direct users
+    assert args.checkpoint_dir == "ckpts_custom"
+    assert args.image_size == 128
+    # explicit flags still win
+    args2 = Args()
+    args2.image_size = 64
+    args2.checkpoint_dir = "cli_dir"
+    cfg2 = cli._build_config(args2, "unet")
+    assert cfg2.data.image_size == (64, 64)
+    assert cfg2.train.checkpoint_dir == "cli_dir"
+
+
+def test_fastddpm_load_model_uses_preset_schedule(tmp_path):
+    """Sampling must use the preset's cosine-beta schedule, not the
+    DiffusionSchedule.create() linear default (inference/training parity)."""
+    import numpy as np
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.models.diffusion import DiffusionSchedule
+
+    loaded = load_model("fastddpm", models_dir=str(tmp_path),
+                        image_size=(32, 32))
+    want = DiffusionSchedule.create(beta_schedule="cosine")
+    got = loaded.schedule
+    np.testing.assert_allclose(
+        np.asarray(got.betas), np.asarray(want.betas), rtol=1e-6
+    )
+    linear = DiffusionSchedule.create(beta_schedule="linear")
+    assert not np.allclose(np.asarray(got.betas), np.asarray(linear.betas))
