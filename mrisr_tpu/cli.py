@@ -247,6 +247,24 @@ def cmd_export_serving(args):
     print(f"serving bundle -> {path}")
 
 
+def cmd_serve(args):
+    """Serve a bundle over HTTP (serve/http.py): .npy in, .npy out, with
+    the micro-batching engine underneath."""
+    from mrisr_tpu.serve.http import serve_bundle
+
+    server = serve_bundle(
+        args.bundle, host=args.host, port=args.port,
+        batch_size=args.batch_size, max_delay_ms=args.max_delay_ms,
+    )
+    print(f"serving {args.bundle} on http://{server.host}:{server.port} "
+          f"(batch {args.batch_size}; POST /predict, GET /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.close()
+
+
 def cmd_eval(args):
     from mrisr_tpu.api import load_model
     from mrisr_tpu.config import PRESETS
@@ -551,6 +569,15 @@ def main(argv=None):
                         "(default absmax)")
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_export_serving)
+
+    q = sub.add_parser("serve")
+    q.add_argument("--bundle", required=True,
+                   help="serving bundle dir (see export-serving)")
+    q.add_argument("--host", default="127.0.0.1")
+    q.add_argument("--port", type=int, default=8000)
+    q.add_argument("--batch-size", type=int, default=128)
+    q.add_argument("--max-delay-ms", type=float, default=2.0)
+    q.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("eval")
     q.add_argument("--model", required=True)

@@ -13,6 +13,10 @@ from mrisr_tpu.serve.bundle import (  # noqa: F401
     load_bundle,
     save_bundle,
 )
+from mrisr_tpu.serve.http import (  # noqa: F401
+    ServingServer,
+    serve_bundle,
+)
 from mrisr_tpu.serve.quant import (  # noqa: F401
     calibrate_unet,
     quantize_unet,
