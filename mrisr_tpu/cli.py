@@ -325,11 +325,19 @@ def cmd_predict_volume(args):
         sys.exit(1)
     volume = np.asarray(store.load_series(candidates[0]))
 
+    from mrisr_tpu.config import PRESETS
+
     hw = cfg.data.image_size
     results = {}
     for name in args.model:
+        # per-model config: fastddpm's β schedule, unet_distilled's width
+        # etc. live in each preset's ModelConfig — passing the first
+        # model's cfg to all of them would sample/build wrongly
+        mcfg = _build_config(
+            args, name if name in PRESETS else "unet"
+        ).model
         model = load_model(name, models_dir=args.checkpoint_dir,
-                           cfg=cfg.model, image_size=hw,
+                           cfg=mcfg, image_size=hw,
                            checkpoint=None if args.allow_fresh else "required")
         if model.kind == "window":
             res = predict_volume_progressive(
@@ -473,11 +481,16 @@ def cmd_triplet_figure(args):
 
     import jax.numpy as jnp
 
+    from mrisr_tpu.config import PRESETS
+
     hw = cfg.data.image_size
     preds = {}
     for name in args.model:
+        mcfg = _build_config(
+            args, name if name in PRESETS else "unet"
+        ).model  # per-model config (see cmd_predict_volume)
         model = load_model(name, models_dir=args.checkpoint_dir,
-                           cfg=cfg.model, image_size=hw,
+                           cfg=mcfg, image_size=hw,
                            checkpoint=None if args.allow_fresh else "required")
         if model.kind == "window":
             # the V10 grid is per-triplet (2-in/1-out); the reference's
