@@ -102,7 +102,10 @@ class TrainConfig:
     learning_rate: float = 1e-4
     learning_rate_d: float = 2e-4        # GAN discriminator
     optimizer: str = "adam"              # 'adam' | 'adamw'
-    weight_decay: float = 0.0
+    # torch AdamW's default decay (the reference notebooks used bare
+    # torch.optim.AdamW, Fixed:cell15); set 0.0 explicitly to disable —
+    # only the 'adamw' optimizer reads this
+    weight_decay: float = 1e-2
     grad_clip_norm: float = 0.0          # 1.0 for diffusion (Fixed:cell11)
     lr_schedule: str = "constant"        # 'constant' | 'cosine'
     early_stopping_patience: int = 15

@@ -81,6 +81,7 @@ def _build() -> Optional[str]:
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
         return so
     for cc in ("cc", "gcc", "clang"):
+        tmp = None  # so the except block can't NameError if mkstemp fails
         try:
             # build to a temp file then rename: atomic under concurrent use
             fd, tmp = tempfile.mkstemp(
@@ -94,10 +95,11 @@ def _build() -> Optional[str]:
             os.replace(tmp, so)
             return so
         except (OSError, subprocess.SubprocessError):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
             continue
     return None
 
@@ -161,8 +163,18 @@ def parse_dicom_bytes_fast(data: bytes, pixels: bool = True) -> DicomFile:
     ok = lib.parse_dicom(data, len(data), ctypes.byref(hdr))
     if not ok:
         if hdr.err == 1:
-            raise ValueError("compressed PixelData not supported by dicom_lite")
-        raise ValueError("DICOM parse failed")
+            # encapsulated (compressed) PixelData: every header tag
+            # precedes it, so header-only parses still succeed — the
+            # cleaner depends on reading Modality from compressed US
+            # series (mirrors dicom_lite's pixels=False behavior)
+            if not pixels:
+                hdr.pixel_off = -1
+            else:
+                raise ValueError(
+                    "compressed PixelData not supported by dicom_lite"
+                )
+        else:
+            raise ValueError("DICOM parse failed")
 
     out = DicomFile()
     for name, attr in _STR_FIELDS:

@@ -184,6 +184,15 @@ def parse_dicom_bytes(data: bytes, pixels: bool = True) -> DicomFile:
             # meta group done; switch to negotiated syntax
             in_meta = False
             explicit = transfer_syntax != IMPLICIT_VR_LE
+            if explicit and transfer_syntax == EXPLICIT_VR_LE:
+                # Raw datasets (no part-10 header) carry no
+                # TransferSyntaxUID, so EXPLICIT stayed defaulted; sniff
+                # the first dataset element — explicit VR places a valid
+                # two-letter VR code right after the tag, implicit places
+                # a 4-byte length there.
+                peek = r.d[r.p : r.p + 2]
+                if not (peek.isalpha() and peek.isupper()):
+                    explicit = False
         if group == 0x0002:
             cur_explicit = True  # meta is always explicit LE
         else:
@@ -208,7 +217,12 @@ def parse_dicom_bytes(data: bytes, pixels: bool = True) -> DicomFile:
             continue
 
         if length == 0xFFFFFFFF:
-            # encapsulated (compressed) pixel data — unsupported
+            # encapsulated (compressed) pixel data — decode unsupported.
+            # Header-only parses (pixels=False) must still SUCCEED here:
+            # the cleaner reads Modality to delete compressed ultrasound
+            # series, and every header tag precedes PixelData.
+            if not pixels:
+                break
             raise ValueError("compressed PixelData not supported by dicom_lite")
 
         raw = r.raw(length)
@@ -267,7 +281,7 @@ def write_dicom(
     patient_id: str = "P0",
     series_uid: str = "1.2.3.4",
     instance_number: int = 1,
-    image_position: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    image_position: Optional[Tuple[float, float, float]] = (0.0, 0.0, 0.0),
     pixel_spacing: Tuple[float, float] = (0.664, 0.664),
 ) -> None:
     """Write a single-frame uncompressed Explicit-VR-LE MR image."""
@@ -293,7 +307,10 @@ def write_dicom(
         _el(0x0010, 0x0020, b"LO", s(patient_id)),
         _el(0x0020, 0x000E, b"UI", s(series_uid)),
         _el(0x0020, 0x0013, b"IS", s(instance_number)),
-        _el(0x0020, 0x0032, b"DS", s("\\".join(f"{v:g}" for v in image_position))),
+        # None omits the tag (tests exercise missing-position fallbacks)
+        *([_el(0x0020, 0x0032, b"DS",
+               s("\\".join(f"{v:g}" for v in image_position)))]
+          if image_position is not None else []),
         _el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
         _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
         _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),

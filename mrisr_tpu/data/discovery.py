@@ -67,12 +67,24 @@ def read_series_volume(
     reader = best_reader()
     dcms = [reader(f) for f in files]
     if sort_by == "position":
-        keyed = []
-        for d, f in zip(dcms, files):
-            pos = d.image_position
-            keyed.append((pos[2] if pos else 0.0, f, d))
-        keyed.sort(key=lambda t: t[0])
-        dcms = [d for _, _, d in keyed]
+        positions = [d.image_position for d in dcms]
+        if all(p is not None for p in positions):
+            keyed = sorted(
+                zip((p[2] for p in positions), files, dcms),
+                key=lambda t: t[0],
+            )
+            dcms = [d for _, _, d in keyed]
+        else:
+            # a missing ImagePositionPatient would sort that slice to a
+            # bogus Z=0 and scramble the stack — filename order (the
+            # reference's default, ModelDataGenerator.py:33) is safe
+            import warnings
+
+            warnings.warn(
+                f"{series_folder}: ImagePositionPatient missing on some "
+                "slices; falling back to filename order",
+                stacklevel=2,
+            )
     slices = [d.pixel_array for d in dcms]
     if any(s is None for s in slices):
         return None

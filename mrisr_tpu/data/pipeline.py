@@ -288,22 +288,48 @@ class PrefetchIterator:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    # bounded put with a stop check: if the consumer
+                    # abandons the generator (early break), the worker
+                    # must not block in q.put() forever holding batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_END)
+                while True:
+                    try:
+                        q.put_nowait(_END)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
+                        try:
+                            q.get_nowait()  # make room for the sentinel
+                        except queue.Empty:
+                            pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+            t.join()
+        finally:
+            # reached on generator close (early consumer break) too
+            stop.set()
+            t.join(timeout=5)
 
 
 def host_shard_patients(patients, process_index: Optional[int] = None,
@@ -329,19 +355,26 @@ def build_loader(
     sharding=None,
     seed: int = 0,
     shard_by_host: bool = False,
+    bank: Optional[SliceBank] = None,
 ) -> _BaseLoader:
-    """The ``build_dataloader`` analog: split -> bank -> loader."""
-    patients = split_for(
-        store.patient_ids,
-        split,
-        cfg.test_val_fraction,
-        cfg.test_within_fraction,
-        cfg.split_seed,
-    )
-    if shard_by_host:
-        patients = host_shard_patients(patients)
-    series_idx = store.series_for_patients(patients)
-    bank = SliceBank(store, series_idx, cfg.image_size, backend=backend)
+    """The ``build_dataloader`` analog: split -> bank -> loader.
+
+    ``bank``: reuse an already-built SliceBank for the same split (the
+    bank is independent of ``distance_filter``, so e.g. the per-spacing
+    eval loop builds it once instead of re-preprocessing the split).
+    """
+    if bank is None:
+        patients = split_for(
+            store.patient_ids,
+            split,
+            cfg.test_val_fraction,
+            cfg.test_within_fraction,
+            cfg.split_seed,
+        )
+        if shard_by_host:
+            patients = host_shard_patients(patients)
+        series_idx = store.series_for_patients(patients)
+        bank = SliceBank(store, series_idx, cfg.image_size, backend=backend)
     aug = _AugmentSpec(
         enabled=cfg.augment and split == "train",
         hflip=cfg.hflip,

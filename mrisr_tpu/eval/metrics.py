@@ -42,7 +42,16 @@ def compute_metrics(
     predicted: np.ndarray,
     use_pallas: Optional[bool] = None,
 ) -> Dict[str, float]:
-    """Volume metrics, V6 semantics.  original/predicted: (Z, H, W)."""
+    """Volume metrics, V6 semantics.  original/predicted: (Z, H, W).
+
+    Returns scalar stats PLUS the normalized volumes under 'orig_norm' /
+    'pred_norm' — (Z, H, W) ndarrays, faithful to the reference's
+    compute_metrics (`VolumeVisualization.py:237-269`) which returns them
+    for the figure code.  Don't json.dump this dict directly; the
+    JSON-safe per-spacing numbers come from per_sample_metrics /
+    eval/runner.py.  Note the whole-volume 'psnr_mean' includes untouched
+    slices (per-slice PSNR inf) exactly as V6 does — use
+    predict_volume's 'metrics_predicted_only' for a finite number."""
     use_pallas = _auto_pallas(use_pallas)
     orig = np.asarray(original, np.float32)
     pred = np.asarray(predicted, np.float32)

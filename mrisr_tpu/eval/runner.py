@@ -32,11 +32,13 @@ def evaluate_pair_model_test_set(
 ) -> Dict[str, Dict[str, float]]:
     """predict_fn: (B, H, W, 2) -> (B, H, W, 1).  Returns {'3mm': ..., '6mm': ...}."""
     out: Dict[str, Dict[str, float]] = {}
+    bank = None  # built once; the bank is distance-independent
     for dist, label in ((2, "3mm"), (4, "6mm")):
         import dataclasses
 
         cfg = dataclasses.replace(data_cfg, distance_filter=dist, augment=False)
-        loader = build_loader(store, split, cfg, backend=backend)
+        loader = build_loader(store, split, cfg, backend=backend, bank=bank)
+        bank = loader.bank
         # queue device arrays; fetch ONCE at the end (per-batch np.asarray
         # forces a host sync each step — r1 verdict weak item 8)
         preds, gts = [], []

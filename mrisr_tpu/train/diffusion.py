@@ -75,21 +75,10 @@ class DiffusionTrainer(_EpochLoopMixin):
         return self.model.apply({"params": self.state.params}, x_in, t)
 
     def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
-        """Train epochs as one on-device lax.scan (train/device_epoch.py)."""
-        from mrisr_tpu.data.pipeline import _AugmentSpec
-        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
-
-        self._device_runner = DeviceEpochRunner(
-            bank, plan_flat, self._raw_train_step,
-            batch_size=self.config.data.batch_size,
-            augment=augment or _AugmentSpec(
-                enabled=self.config.data.augment,
-                hflip=self.config.data.hflip,
-                vflip=self.config.data.vflip,
-                rot90=self.config.data.rot90,
-                rotate_degrees=self.config.data.rotate_degrees,
-            ),
-            step_takes_key=True,
+        """Train epochs as one on-device lax.scan (train/device_epoch.py);
+        the diffusion step draws noise/timesteps from a per-step key."""
+        super().enable_device_epochs(
+            bank, plan_flat, augment=augment, step_takes_key=True
         )
 
     def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:

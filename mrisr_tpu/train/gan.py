@@ -76,20 +76,8 @@ class GANTrainer(_EpochLoopMixin):
     def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
         """Train epochs as one on-device lax.scan; the carry holds BOTH
         TrainStates (G, D) — train/device_epoch.py multi_state mode."""
-        from mrisr_tpu.data.pipeline import _AugmentSpec
-        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
-
-        self._device_runner = DeviceEpochRunner(
-            bank, plan_flat, self._raw_train_step,
-            batch_size=self.config.data.batch_size,
-            augment=augment or _AugmentSpec(
-                enabled=self.config.data.augment,
-                hflip=self.config.data.hflip,
-                vflip=self.config.data.vflip,
-                rot90=self.config.data.rot90,
-                rotate_degrees=self.config.data.rotate_degrees,
-            ),
-            multi_state=True,
+        super().enable_device_epochs(
+            bank, plan_flat, augment=augment, multi_state=True
         )
 
     def run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
@@ -133,11 +121,13 @@ class GANTrainer(_EpochLoopMixin):
                 "params": self.g_state.params,
                 "batch_stats": self.g_state.batch_stats or {},
                 "opt_state": self.g_state.opt_state,
+                "step": np.asarray(self.g_state.step),
             },
             "discriminator": {
                 "params": self.d_state.params,
                 "batch_stats": self.d_state.batch_stats or {},
                 "opt_state": self.d_state.opt_state,
+                "step": np.asarray(self.d_state.step),
             },
             "epoch": np.asarray(epoch),
             "best_loss": np.asarray(best_loss, np.float64),
@@ -153,16 +143,29 @@ class GANTrainer(_EpochLoopMixin):
         from mrisr_tpu.ckpt import restore_checkpoint
 
         template = self._state_dict(0, 0.0)
-        r = restore_checkpoint(path, template)
+        try:
+            r = restore_checkpoint(path, template)
+        except Exception:
+            # pre-step-field GAN checkpoints: restore without the step
+            # entries, then resume with step 0 (the old behavior)
+            for sub in ("generator", "discriminator"):
+                template[sub] = {
+                    k: v for k, v in template[sub].items() if k != "step"
+                }
+            r = restore_checkpoint(path, template)
+            r["generator"]["step"] = np.asarray(0)
+            r["discriminator"]["step"] = np.asarray(0)
         self.g_state = self.g_state.replace(
             params=r["generator"]["params"],
             batch_stats=r["generator"]["batch_stats"] or None,
             opt_state=r["generator"]["opt_state"],
+            step=int(r["generator"]["step"]),
         )
         self.d_state = self.d_state.replace(
             params=r["discriminator"]["params"],
             batch_stats=r["discriminator"]["batch_stats"] or None,
             opt_state=r["discriminator"]["opt_state"],
+            step=int(r["discriminator"]["step"]),
         )
         self.best_loss = float(r["best_loss"])
         self.start_epoch = int(r["epoch"]) + 1

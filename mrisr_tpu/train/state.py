@@ -40,7 +40,7 @@ def make_optimizer(
                 stacklevel=2,
             )
     if cfg.optimizer == "adamw":
-        tx = optax.adamw(lr, weight_decay=cfg.weight_decay or 1e-2)
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "adam":
         tx = optax.adam(lr)
     else:

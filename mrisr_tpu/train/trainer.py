@@ -35,6 +35,35 @@ class _EpochLoopMixin:
     config: Config
     history: TrainingHistory
 
+    def _augment_spec(self):
+        from mrisr_tpu.data.pipeline import _AugmentSpec
+
+        d = self.config.data
+        return _AugmentSpec(
+            enabled=d.augment,
+            hflip=d.hflip,
+            vflip=d.vflip,
+            rot90=d.rot90,
+            rotate_degrees=d.rotate_degrees,
+        )
+
+    def enable_device_epochs(self, bank, plan_flat, augment=None,
+                             **runner_kwargs) -> None:
+        """Switch TRAIN epochs to the device-resident lax.scan runner
+        (train/device_epoch.py): bank must be a device-backend SliceBank
+        and ``plan_flat`` the loader's (N, 3) pair / (N, 5) window flat
+        slice plan.  Validation still uses the regular loader path.
+        Subclasses pass their step-signature flags via ``runner_kwargs``
+        (GAN: multi_state=True; diffusion: step_takes_key=True)."""
+        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
+
+        self._device_runner = DeviceEpochRunner(
+            bank, plan_flat, self._raw_train_step,
+            batch_size=self.config.data.batch_size,
+            augment=augment or self._augment_spec(),
+            **runner_kwargs,
+        )
+
     def _ckpt_path(self, suffix: str) -> str:
         d = self.config.train.checkpoint_dir
         os.makedirs(d, exist_ok=True)
@@ -244,27 +273,6 @@ class SupervisedTrainer(_EpochLoopMixin):
                 acc[k] = acc.get(k, 0.0) + float(v)
             n += 1
         return _mean_metrics(acc, n)
-
-    # --------------------------------------------------------- scan epochs
-    def enable_device_epochs(self, bank, plan_flat, augment=None) -> None:
-        """Switch TRAIN epochs to the device-resident lax.scan runner
-        (train/device_epoch.py): bank must be a device-backend SliceBank and
-        ``plan_flat`` the loader's (N, 3) pair / (N, 5) window flat slice
-        plan.  Validation still uses the regular loader path."""
-        from mrisr_tpu.data.pipeline import _AugmentSpec
-        from mrisr_tpu.train.device_epoch import DeviceEpochRunner
-
-        self._device_runner = DeviceEpochRunner(
-            bank, plan_flat, self._raw_train_step,
-            batch_size=self.config.data.batch_size,
-            augment=augment or _AugmentSpec(
-                enabled=self.config.data.augment,
-                hflip=self.config.data.hflip,
-                vflip=self.config.data.vflip,
-                rot90=self.config.data.rot90,
-                rotate_degrees=self.config.data.rotate_degrees,
-            ),
-        )
 
     # ------------------------------------------------------------- predict
     def predict(self, inputs: jax.Array):

@@ -246,3 +246,115 @@ def test_string_vr_space_padding(tmp_path):
     assert b"0\\0\\1.5 " in raw
     d = parse_dicom_bytes(raw)
     assert d.image_position == (0.0, 0.0, 1.5)
+
+
+def test_compressed_pixeldata_header_only_parse():
+    """Encapsulated (compressed) PixelData: pixels=True raises, but a
+    header-only parse must still return the fields — the cleaner reads
+    Modality from compressed ultrasound series to delete them."""
+    import struct
+
+    import pytest
+
+    from mrisr_tpu.data.dicom_lite import parse_dicom_bytes
+
+    def el_explicit(group, elem, vr, value):
+        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+            return (struct.pack("<HH", group, elem) + vr + b"\x00\x00"
+                    + struct.pack("<I", len(value)) + value)
+        return (struct.pack("<HH", group, elem) + vr
+                + struct.pack("<H", len(value)) + value)
+
+    body = el_explicit(0x0008, 0x0060, b"CS", b"US")
+    # encapsulated pixel data: OB, undefined length, one item + delimiter
+    frag = struct.pack("<HHI", 0xFFFE, 0xE000, 4) + b"\x01\x02\x03\x04"
+    delim = struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    body += (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+             + struct.pack("<I", 0xFFFFFFFF) + frag + delim)
+    data = b"\x00" * 128 + b"DICM" + body
+
+    d = parse_dicom_bytes(data, pixels=False)
+    assert d.modality == "US"
+    assert d.pixel_array is None
+    with pytest.raises(ValueError, match="compressed"):
+        parse_dicom_bytes(data, pixels=True)
+
+
+def test_compressed_pixeldata_header_only_native():
+    """Same contract through the native parser (when it compiled)."""
+    import struct
+
+    import pytest
+
+    from mrisr_tpu.data import dicom_fast
+
+    if not dicom_fast.available():
+        pytest.skip("native parser unavailable")
+
+    def el_explicit(group, elem, vr, value):
+        return (struct.pack("<HH", group, elem) + vr
+                + struct.pack("<H", len(value)) + value)
+
+    body = el_explicit(0x0008, 0x0060, b"CS", b"US")
+    frag = struct.pack("<HHI", 0xFFFE, 0xE000, 4) + b"\x01\x02\x03\x04"
+    delim = struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    body += (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+             + struct.pack("<I", 0xFFFFFFFF) + frag + delim)
+    data = b"\x00" * 128 + b"DICM" + body
+
+    d = dicom_fast.parse_dicom_bytes_fast(data, pixels=False)
+    assert d.modality == "US"
+    assert d.pixel_array is None
+    with pytest.raises(ValueError, match="compressed"):
+        dicom_fast.parse_dicom_bytes_fast(data, pixels=True)
+
+
+def test_raw_implicit_vr_dataset_sniffed():
+    """A headerless (no part-10 meta) implicit-VR dataset must be parsed
+    via the VR sniff, not misread as explicit."""
+    import struct
+
+    from mrisr_tpu.data.dicom_lite import parse_dicom_bytes
+
+    arr = np.arange(20, dtype=np.uint16).reshape(4, 5)
+
+    def el(group, elem, value):
+        return struct.pack("<HHI", group, elem, len(value)) + value
+
+    body = el(0x0008, 0x0060, b"MR")
+    body += el(0x0028, 0x0010, struct.pack("<H", 4))
+    body += el(0x0028, 0x0011, struct.pack("<H", 5) + b"\x00\x00")
+    body += el(0x0028, 0x0100, struct.pack("<H", 16))
+    body += el(0x7FE0, 0x0010, arr.astype("<u2").tobytes())
+
+    d = parse_dicom_bytes(body)  # no preamble, no meta group at all
+    assert d.modality == "MR"
+    np.testing.assert_array_equal(d.pixel_array, arr.astype(np.float32))
+
+
+def test_position_sort_falls_back_on_missing_positions(tmp_path):
+    """A series where some slices lack ImagePositionPatient must fall back
+    to filename order with a warning, not scramble to Z=0."""
+    import warnings
+
+    from mrisr_tpu.data.discovery import read_series_volume
+
+    folder = tmp_path / "series"
+    folder.mkdir()
+    for i in range(4):
+        kw = {"image_position": None}  # slice 2 has NO position tag
+        if i != 2:
+            kw["image_position"] = (0.0, 0.0, float(10 - i))  # descending Z
+        write_dicom(
+            str(folder / f"s{i:03d}.dcm"),
+            np.full((4, 4), i, np.uint16),
+            modality="MR", **kw,
+        )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vol = read_series_volume(str(folder), sort_by="position")
+    assert vol is not None
+    # filename order preserved (slice i has constant value i)
+    for i in range(4):
+        assert float(vol[i, 0, 0]) == float(i)
+    assert any("filename order" in str(x.message) for x in w)

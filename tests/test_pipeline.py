@@ -200,6 +200,29 @@ def test_prefetch_iterator_equivalence(store):
         np.testing.assert_array_equal(x, y)
 
 
+def test_prefetch_iterator_early_break_stops_worker(store):
+    """Abandoning a prefetching iteration mid-way must not leak a worker
+    thread blocked in q.put() holding batches."""
+    import threading
+    import time
+
+    from mrisr_tpu.data.pipeline import PrefetchIterator
+
+    bank = SliceBank(store, [0, 1], image_size=(64, 64))
+    before = threading.active_count()
+    for _ in range(5):
+        pre = PrefetchIterator(
+            TripletLoader(bank, None, batch_size=2, shuffle=False), depth=1
+        )
+        it = iter(pre)
+        next(it)  # take one batch, then abandon
+        it.close()
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # workers exited
+
+
 def test_host_shard_patients():
     from mrisr_tpu.data.pipeline import host_shard_patients
 
