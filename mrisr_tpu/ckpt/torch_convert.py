@@ -156,6 +156,20 @@ def _convert_fastddpm(sd) -> dict:
     return b.variables()
 
 
+def _convert_fastddpm_simple(sd) -> dict:
+    """ModelLoader M10 lineage (UNet2D inside the FastDDPM wrapper,
+    `/root/reference/src/ModelLoader.py:536-584`): time MLP as Sequential
+    indices 0/2, DoubleConv blocks as ``<name>.block.{0,2}``, 1x1 outc."""
+    b = _Builder(sd)
+    b.linear(("time_mlp1",), "time_mlp.0")
+    b.linear(("time_mlp2",), "time_mlp.2")
+    for blk in ("inc", "down1", "down2", "up2", "up1"):
+        b.conv((f"{blk}_conv1",), f"{blk}.block.0")
+        b.conv((f"{blk}_conv2",), f"{blk}.block.2")
+    b.conv(("outc",), "outc")
+    return b.variables()
+
+
 def _unwrap_state_dict(checkpoint) -> Dict[str, Any]:
     if isinstance(checkpoint, dict):
         if "generator_state_dict" in checkpoint:
@@ -185,8 +199,18 @@ def convert_torch_checkpoint(model_name: str, checkpoint) -> dict:
     if name == "deepcnn":
         return _convert_deepcnn(sd)
     if name == "fastddpm":
-        # strip an optional 'unet.' prefix (ModelLoader FastDDPM wrapper)
         if any(k.startswith("unet.") for k in sd):
-            sd = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
+            # the 'unet.' wrapper exists ONLY in ModelLoader's FastDDPM
+            # (M10/UNet2D lineage) — that architecture is
+            # 'fastddpm_simple' here, not the trained-notebook FastDDPMUNet
+            raise ValueError(
+                "this checkpoint wraps a ModelLoader UNet2D ('unet.*' "
+                "keys) — convert it as model 'fastddpm_simple'"
+            )
         return _convert_fastddpm(sd)
+    if name == "fastddpm_simple":
+        if any(k.startswith("unet.") for k in sd):
+            sd = {k[len("unet."):]: v for k, v in sd.items()
+                  if k.startswith("unet.")}
+        return _convert_fastddpm_simple(sd)
     raise ValueError(f"no torch converter for model '{model_name}'")

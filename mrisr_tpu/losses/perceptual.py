@@ -127,12 +127,13 @@ def make_gabor_perceptual_fn(
 
     def perceptual(pred: jax.Array, target: jax.Array) -> jax.Array:
         total = jnp.asarray(0.0, jnp.float32)
-        p, t = pred, target
+        # batch pred+target through one filter-bank/blur pass per level
+        # (half the dispatches of separate features(p)/features(t) calls)
+        both = jnp.concatenate([pred, target], axis=0)
         for _ in range(levels):
-            total = total + jnp.mean(
-                jnp.abs(features(p) - features(t))
-            ).astype(jnp.float32)
-            p, t = downsample(p), downsample(t)
+            fp, ft = jnp.split(features(both), 2, axis=0)
+            total = total + jnp.mean(jnp.abs(fp - ft)).astype(jnp.float32)
+            both = downsample(both)
         return total / levels
 
     return perceptual
@@ -172,5 +173,9 @@ def make_perceptual_fn(
             )
         return vgg_mod.make_perceptual_fn(npz_path=resolved, dtype=dtype)
     if kind == "vgg-random":
-        return vgg_mod.make_perceptual_fn(npz_path=None, dtype=dtype)
+        # allow_env=False: must stay random even when MRISR_VGG16_NPZ is
+        # set, or a vgg vs vgg-random ablation compares identical arms
+        return vgg_mod.make_perceptual_fn(
+            npz_path=None, dtype=dtype, allow_env=False
+        )
     raise ValueError(f"unknown perceptual kind: {kind!r}")

@@ -56,9 +56,15 @@ class VGG16Features(nn.Module):
         return x
 
 
-def load_vgg16_params(npz_path: Optional[str] = None) -> dict:
-    """Load VGG16 feature params from npz, or build a fixed seeded init."""
-    npz_path = npz_path or os.environ.get("MRISR_VGG16_NPZ")
+def load_vgg16_params(npz_path: Optional[str] = None,
+                      allow_env: bool = True) -> dict:
+    """Load VGG16 feature params from npz, or build a fixed seeded init.
+
+    ``allow_env=False`` ignores MRISR_VGG16_NPZ — the explicit
+    'vgg-random' mode must stay random even when real weights are around,
+    or ablations against it silently compare identical arms."""
+    if allow_env:
+        npz_path = npz_path or os.environ.get("MRISR_VGG16_NPZ")
     model = VGG16Features()
     if npz_path and os.path.exists(npz_path):
         data = np.load(npz_path)
@@ -90,20 +96,22 @@ def convert_torch_vgg16(state_dict, out_npz: str) -> None:
 
 
 def make_perceptual_fn(
-    npz_path: Optional[str] = None, dtype=jnp.float32
+    npz_path: Optional[str] = None, dtype=jnp.float32,
+    allow_env: bool = True,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Returns perceptual(pred, target) -> scalar L1 feature distance.
 
     pred/target: (B, H, W, 1) single-channel images.
     """
     model = VGG16Features(dtype=dtype)
-    variables = load_vgg16_params(npz_path)
+    variables = load_vgg16_params(npz_path, allow_env=allow_env)
 
     def perceptual(pred: jax.Array, target: jax.Array) -> jax.Array:
-        p3 = jnp.repeat(pred, 3, axis=-1)
-        t3 = jnp.repeat(target, 3, axis=-1)
-        fp = model.apply(variables, p3)
-        ft = model.apply(variables, t3)
+        # ONE concatenated forward instead of two: halves dispatches and
+        # doubles the VGG batch on the MXU (training hot path)
+        both = jnp.concatenate([pred, target], axis=0)
+        f = model.apply(variables, jnp.repeat(both, 3, axis=-1))
+        fp, ft = jnp.split(f, 2, axis=0)
         return jnp.mean(jnp.abs(fp - ft))
 
     return perceptual

@@ -76,7 +76,11 @@ class DeepCNN(nn.Module):
         x = nn.relu(x)
         x = max_pool_3x3_s1(x)
 
-        widths = [f, f * 2, f * 4, f * 8]
+        # one doubling stage per num_blocks entry (reference is 4 stages,
+        # ModelLoader.py:309-377); deriving widths from len(num_blocks)
+        # instead of a fixed 4-list means a longer config BUILDS longer —
+        # zip would silently truncate it
+        widths = [f * (2 ** i) for i in range(len(self.num_blocks))]
         for layer_idx, (width, blocks) in enumerate(zip(widths, self.num_blocks)):
             for b in range(blocks):
                 x = ResidualBlock(

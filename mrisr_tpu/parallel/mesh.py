@@ -38,7 +38,15 @@ def make_mesh(
     spec = spec or MeshSpec()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    model = max(spec.model, 1)
+    if spec.model < 1:
+        # only the DATA axis supports -1 = "all remaining"; silently
+        # coercing model=-1 to 1 would run unsharded where the user asked
+        # for tensor parallelism
+        raise ValueError(
+            f"MeshSpec.model must be >= 1 (got {spec.model}); "
+            "-1 is only meaningful for the data axis"
+        )
+    model = spec.model
     assert n % model == 0, f"{n} devices not divisible by model={model}"
     data = spec.data if spec.data > 0 else n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"

@@ -402,3 +402,107 @@ def test_progressive_converter_tree_matches_flax_init():
         variables["params"]
     ) == jax.tree_util.tree_structure(init_vars["params"])
     assert param_count(variables["params"]) == 93_111_171
+
+
+# ------------------------------------------- FastDDPM "Simple" (M10/UNet2D)
+
+
+def _rand_torch_unet2d_sd(rng, base=8, time_dim=16, in_ch=3):
+    """Random state dict with ModelLoader UNet2D names
+    (`/root/reference/src/ModelLoader.py:536-584`)."""
+    def w(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd = {
+        "time_mlp.0.weight": w(time_dim, time_dim),
+        "time_mlp.0.bias": w(time_dim),
+        "time_mlp.2.weight": w(time_dim, time_dim),
+        "time_mlp.2.bias": w(time_dim),
+    }
+    chans = {
+        "inc": (in_ch + time_dim, base),
+        "down1": (base, base * 2),
+        "down2": (base * 2, base * 4),
+        "up2": (base * 4 + base * 2, base * 2),
+        "up1": (base * 2 + base, base),
+    }
+    for name, (ci, co) in chans.items():
+        sd[f"{name}.block.0.weight"] = w(co, ci, 3, 3)
+        sd[f"{name}.block.0.bias"] = w(co)
+        sd[f"{name}.block.2.weight"] = w(co, co, 3, 3)
+        sd[f"{name}.block.2.bias"] = w(co)
+    sd["outc.weight"] = w(1, base, 1, 1)
+    sd["outc.bias"] = w(1)
+    return sd
+
+
+def _torch_unet2d_forward(sd, x, t, base=8, time_dim=16):
+    """Literal UNet2D forward per the reference source (spec under test)."""
+    import math
+
+    import torch.nn.functional as F
+
+    def conv(h, name, pad=1):
+        return F.conv2d(h, torch.from_numpy(sd[name + ".weight"]),
+                        torch.from_numpy(sd[name + ".bias"]), padding=pad)
+
+    def block(h, name):
+        h = F.relu(conv(h, f"{name}.block.0"))
+        return F.relu(conv(h, f"{name}.block.2"))
+
+    half = time_dim // 2
+    freqs = torch.exp(
+        -math.log(10000) * torch.arange(0, half, dtype=torch.float32) / half
+    )
+    args = t[:, None].float() * freqs[None]
+    emb = torch.cat([torch.sin(args), torch.cos(args)], dim=-1)
+    emb = F.linear(emb, torch.from_numpy(sd["time_mlp.0.weight"]),
+                   torch.from_numpy(sd["time_mlp.0.bias"]))
+    emb = F.relu(emb)
+    emb = F.linear(emb, torch.from_numpy(sd["time_mlp.2.weight"]),
+                   torch.from_numpy(sd["time_mlp.2.bias"]))
+    emb = emb[:, :, None, None].repeat(1, 1, x.shape[2], x.shape[3])
+    h = torch.cat([x, emb], dim=1)
+
+    c1 = block(h, "inc")
+    c2 = block(F.max_pool2d(c1, 2), "down1")
+    c3 = block(F.max_pool2d(c2, 2), "down2")
+    u2 = F.interpolate(c3, scale_factor=2)
+    u2 = block(torch.cat([u2, c2], dim=1), "up2")
+    u1 = F.interpolate(u2, scale_factor=2)
+    u1 = block(torch.cat([u1, c1], dim=1), "up1")
+    return conv(u1, "outc", pad=0)
+
+
+def test_fastddpm_simple_converter_numeric_parity():
+    from mrisr_tpu.models import SimpleDiffusionUNet
+
+    rng = np.random.default_rng(11)
+    sd = _rand_torch_unet2d_sd(rng)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    t = np.array([3, 8], dtype=np.int64)
+
+    with torch.no_grad():
+        want = _torch_unet2d_forward(
+            sd, torch.from_numpy(x), torch.from_numpy(t)
+        ).numpy()
+
+    # the ModelLoader checkpoint wraps the UNet2D under 'unet.' — the
+    # converter must strip it for 'fastddpm_simple' ...
+    wrapped = {f"unet.{k}": v for k, v in sd.items()}
+    variables = convert_torch_checkpoint("fastddpm_simple", wrapped)
+    model = SimpleDiffusionUNet(base_features=8, time_dim=16)
+    got = np.asarray(
+        model.apply(
+            {"params": variables["params"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+    # ... and 'fastddpm' must refuse the wrapped layout with a pointer
+    import pytest
+
+    with pytest.raises(ValueError, match="fastddpm_simple"):
+        convert_torch_checkpoint("fastddpm", wrapped)
