@@ -149,6 +149,7 @@ int parse_dicom(const uint8_t *data, int64_t n, DicomHeader *out) {
   int explicit_vr = 1;
   int in_meta = 1;
   int ts_implicit = 0;
+  int ts_explicit_le = 1; /* stays 1 while TS is defaulted or exactly EVR-LE */
 
   while (r.p < r.n) {
     if (r.p + 8 > r.n) break;
@@ -158,6 +159,17 @@ int parse_dicom(const uint8_t *data, int64_t n, DicomHeader *out) {
     if (in_meta && group != 0x0002) {
       in_meta = 0;
       explicit_vr = !ts_implicit;
+      if (explicit_vr && ts_explicit_le) {
+        /* Raw datasets (no part-10 header) carry no TransferSyntaxUID, so
+         * EXPLICIT stayed defaulted; sniff the first dataset element —
+         * explicit VR places a two-uppercase-letter VR code right after
+         * the tag, implicit places a 4-byte length there
+         * (mirrors dicom_lite.py:187-195). */
+        if (r.p + 2 > r.n ||
+            !(r.d[r.p] >= 'A' && r.d[r.p] <= 'Z' && r.d[r.p + 1] >= 'A' &&
+              r.d[r.p + 1] <= 'Z'))
+          explicit_vr = 0;
+      }
     }
     int cur_explicit = (group == 0x0002) ? 1 : explicit_vr;
 
@@ -206,6 +218,7 @@ int parse_dicom(const uint8_t *data, int64_t n, DicomHeader *out) {
       char ts[68];
       set_str(ts, sizeof ts, raw, length);
       ts_implicit = strcmp(ts, "1.2.840.10008.1.2") == 0;
+      ts_explicit_le = strcmp(ts, "1.2.840.10008.1.2.1") == 0;
     } else if (is_pixel) {
       out->pixel_off = off;
       out->pixel_len = length;

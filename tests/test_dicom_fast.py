@@ -92,6 +92,32 @@ def test_implicit_vr_parity():
     _assert_equal(data)
 
 
+def test_raw_implicit_vr_no_preamble_parity():
+    """Raw implicit-VR dataset with NO part-10 header: both parsers must
+    sniff the first dataset element (no two-uppercase-letter VR after the
+    tag => implicit) instead of misreading it as explicit VR.  This was the
+    r2 advisor finding: the C scanner lacked the sniff, returning an empty
+    header with ok=1 while dicom_lite parsed the file fully."""
+    arr = (np.arange(5 * 3, dtype=np.uint16) * 7).reshape(5, 3)
+    body = b"".join([
+        _el_implicit(0x0008, 0x0060, b"MR"),
+        _el_implicit(0x0008, 0x103E, b"T2 AX PROSTATE"),
+        _el_implicit(0x0010, 0x0020, b"P99 "),
+        _el_implicit(0x0020, 0x0032, b"1\\2\\3.5 "),
+        _el_implicit(0x0028, 0x0010, struct.pack("<H", 5)),
+        _el_implicit(0x0028, 0x0011, struct.pack("<H", 3)),
+        _el_implicit(0x0028, 0x0100, struct.pack("<H", 16)),
+        _el_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+        _el_implicit(0x7FE0, 0x0010, arr.astype("<u2").tobytes()),
+    ])
+    _assert_equal(body)
+    # guard against the vacuous both-empty pass the old parity gap hid behind
+    fast = dicom_fast.parse_dicom_bytes_fast(body)
+    assert fast.modality == "MR"
+    assert fast.get("Rows") == 5 and fast.get("Columns") == 3
+    np.testing.assert_array_equal(fast.pixel_array, arr.astype(np.float32))
+
+
 def test_undefined_sequence_skip_parity():
     # explicit-VR file containing an undefined-length SQ with a nested
     # undefined-length item before the retained tags
