@@ -56,7 +56,8 @@ def _make_trainer(cfg, hw):
 
 
 def bench_batch_size(store, batch_size: int, image_size: int,
-                     epochs_timed: int, preset: str = "unet") -> dict:
+                     epochs_timed: int, preset: str = "unet",
+                     remat: bool = False) -> dict:
     import jax
 
     from mrisr_tpu.config import PRESETS
@@ -70,6 +71,7 @@ def bench_batch_size(store, batch_size: int, image_size: int,
             base.data, batch_size=batch_size,
             image_size=(image_size, image_size),
         ),
+        model=dataclasses.replace(base.model, remat=remat),
         train=dataclasses.replace(base.train, compute_dtype="bfloat16"),
     )
     hw = cfg.data.image_size
@@ -113,6 +115,8 @@ def bench_batch_size(store, batch_size: int, image_size: int,
         "value": round(slices_per_sec, 1),
         "unit": f"{image_size}x{image_size} slices/s",
     }
+    if remat:
+        out["remat"] = True
     if flops_per_slice is not None:
         achieved = slices_per_sec * flops_per_slice / 1e3
         out["train_gflops_per_slice"] = round(flops_per_slice, 1)
@@ -130,6 +134,9 @@ def main():
     p.add_argument("--preset", default="unet",
                    help="any training preset: unet / deepcnn / unet_gan / "
                         "progressive_unet / fastddpm / ...")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize double-conv blocks (UNet family): "
+                        "~1/3 forward recompute for activation memory")
     args = p.parse_args()
 
     from mrisr_tpu.data.volumes import VolumeStore
@@ -139,7 +146,7 @@ def main():
         try:
             print(json.dumps(bench_batch_size(
                 store, bs, args.image_size, args.epochs_timed,
-                preset=args.preset)))
+                preset=args.preset, remat=args.remat)))
         except Exception as e:  # e.g. OOM at large batch: report, continue
             print(json.dumps({
                 "metric": f"{args.preset}_train_slices_per_sec_per_chip",

@@ -109,6 +109,8 @@ _TORCH_CKPT_FILES = {
     "progressive_unet": "progressive_unet_best.pt",
     "unet_gan": "unet_gan_best.pt",
     "fastddpm": "fastddpm_best.pt",
+    # M10 lineage ships as fastddpm_advanced_best.pth (ModelLoader.py:668)
+    "fastddpm_simple": "fastddpm_advanced_best.pth",
 }
 
 

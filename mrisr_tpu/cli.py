@@ -39,6 +39,14 @@ def _add_common_train_args(p):
                    help="permit eval/predict with freshly initialized "
                         "weights when no checkpoint exists (default: the "
                         "CLI refuses — random-weight metrics are noise)")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="data-parallel mesh axis size (-1 = all remaining "
+                        "devices; default: all devices when >1 are visible)")
+    p.add_argument("--mesh-model", type=int, default=None,
+                   help="model (tensor-parallel) mesh axis size (default 1)")
+    p.add_argument("--shard-hosts", action="store_true",
+                   help="multi-host: each process loads only its own "
+                        "patient shard (round-robin by patient)")
 
 
 def _build_config(args, preset_name):
@@ -70,13 +78,63 @@ def _build_config(args, preset_name):
     model = cfg.model
     if getattr(args, "features", None):
         model = dataclasses.replace(model, base_features=args.features)
-    cfg = dataclasses.replace(cfg, data=data, train=train, model=model)
+    mesh = dataclasses.replace(
+        cfg.mesh,
+        **({"data": args.mesh_data}
+           if getattr(args, "mesh_data", None) is not None else {}),
+        **({"model": args.mesh_model}
+           if getattr(args, "mesh_model", None) is not None else {}),
+    )
+    cfg = dataclasses.replace(cfg, data=data, train=train, model=model,
+                              mesh=mesh)
     # reflect the effective values back onto args: several commands use
     # args.checkpoint_dir / args.results_dir directly
     args.checkpoint_dir = cfg.train.checkpoint_dir
     args.results_dir = cfg.train.results_dir
     args.image_size = cfg.data.image_size[0]
     return cfg
+
+
+def _training_mesh(cfg):
+    """Build the ('data', 'model') training mesh from ``cfg.mesh``
+    (SURVEY.md §2.5 DP row — data parallelism is first-class in training,
+    not just in tests/serving).  Returns None on a single visible device so
+    the single-chip program is byte-identical to the unmeshed build.
+
+    With the default MeshConfig (data=-1) the data axis is auto-shrunk to
+    the largest divisor of the batch size, so the reference's small preset
+    batches (e.g. 4) still train on a multi-chip host instead of erroring;
+    an EXPLICIT --mesh-data/--mesh-model is honored strictly."""
+    import math
+
+    import jax
+
+    from mrisr_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    if jax.device_count() == 1:
+        return None
+    explicit = cfg.mesh.data > 0 or cfg.mesh.model > 1
+    if explicit:
+        mesh = make_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model))
+        n_data = mesh.shape["data"]
+        if cfg.data.batch_size % n_data != 0:
+            raise SystemExit(
+                f"batch_size {cfg.data.batch_size} is not divisible by the "
+                f"mesh's data axis ({n_data}); pass --batch-size k*{n_data} "
+                "or shrink the mesh with --mesh-data"
+            )
+        return mesh
+    n_data = math.gcd(cfg.data.batch_size, jax.device_count())
+    if n_data <= 1:
+        return None
+    if n_data < jax.device_count():
+        print(
+            f"note: data axis shrunk to {n_data} of {jax.device_count()} "
+            f"devices (largest divisor of batch_size "
+            f"{cfg.data.batch_size}); raise --batch-size to use all chips"
+        )
+    devices = jax.devices()[:n_data]
+    return make_mesh(MeshSpec(data=n_data, model=1), devices=devices)
 
 
 def cmd_extract(args):
@@ -136,8 +194,16 @@ def cmd_train(args):
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     kind = "window" if cfg.model.name == "progressive_unet" else "triplet"
+    mesh = _training_mesh(cfg)
+    sharding = None
+    if mesh is not None:
+        from mrisr_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        print(f"training mesh: {dict(mesh.shape)}")
     train_loader = build_loader(store, "train", cfg.data, kind=kind,
-                                backend=args.backend)
+                                backend=args.backend, sharding=sharding,
+                                shard_by_host=args.shard_hosts)
     val_loader = build_loader(store, "val", cfg.data, kind=kind,
                               backend=args.backend)
 
@@ -152,12 +218,12 @@ def cmd_train(args):
 
         trainer = GANTrainer(
             cfg, perceptual_fn=make_perceptual_fn(cfg.loss.perceptual),
-            image_size=hw,
+            image_size=hw, mesh=mesh,
         )
     elif cfg.loss.kind == "diffusion":
         from mrisr_tpu.train import DiffusionTrainer
 
-        trainer = DiffusionTrainer(cfg, image_size=hw)
+        trainer = DiffusionTrainer(cfg, image_size=hw, mesh=mesh)
     else:
         perceptual_fn = None
         if cfg.loss.kind == "combined":
@@ -167,7 +233,7 @@ def cmd_train(args):
         from mrisr_tpu.train import SupervisedTrainer
 
         trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
-                                    image_size=hw)
+                                    image_size=hw, mesh=mesh)
     if args.scan_epochs:
         if args.backend != "device":
             raise SystemExit("--scan-epochs requires --backend device")
@@ -190,8 +256,16 @@ def cmd_distill(args):
     cfg = _build_config(args, args.preset)
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
+    mesh = _training_mesh(cfg)
+    sharding = None
+    if mesh is not None:
+        from mrisr_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        print(f"training mesh: {dict(mesh.shape)}")
     train_loader = build_loader(store, "train", cfg.data, kind="triplet",
-                                backend=args.backend)
+                                backend=args.backend, sharding=sharding,
+                                shard_by_host=args.shard_hosts)
     val_loader = build_loader(store, "val", cfg.data, kind="triplet",
                               backend=args.backend)
     teacher_cfg = None
@@ -207,6 +281,7 @@ def cmd_distill(args):
         teacher_models_dir=args.teacher_dir or args.checkpoint_dir,
         teacher_cfg=teacher_cfg,
         image_size=hw,
+        mesh=mesh,
     )
     if args.scan_epochs:
         if args.backend != "device":

@@ -60,6 +60,10 @@ class ModelConfig:
     in_channels: int = 2
     out_channels: int = 1
     base_features: int = 64
+    # rematerialize the double-conv blocks in backward (jax.checkpoint):
+    # trades ~1/3 recompute for activation memory, unlocking larger train
+    # batches (measured in docs/ARCHITECTURE.md "Remat sweep")
+    remat: bool = False
     num_blocks: Tuple[int, ...] = (2, 2, 2, 2)   # DeepCNN only
     # diffusion-only knobs
     time_dim: int = 128
@@ -232,6 +236,27 @@ PRESETS = {
         loss=LossConfig(kind="diffusion"),
         train=TrainConfig(
             learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0, epochs=40,
+        ),
+    ),
+    # Fast-DDPM "Simple" (M10, ModelLoader.py:466-636): compressed-T
+    # schedule (T=10 subsampled from the 1000-step LINEAR β table, 40/60
+    # split), 2-level UNet2D with the 256-dim time embedding concatenated
+    # as channels, DDIM sampling, [x, cond] input order.  The training
+    # notebook (FastDDPM_Simple.ipynb) is lost; optimizer settings follow
+    # the surviving Fixed-lineage loop.  Checkpoint:
+    # fastddpm_advanced_best.pth (ModelLoader.py:668).
+    "fastddpm_simple": _preset(
+        "fastddpm_simple",
+        data=DataConfig(batch_size=4, augment=True),
+        model=ModelConfig(
+            name="fastddpm_simple", in_channels=3, base_features=64,
+            time_dim=256, num_timesteps=1000, num_inference_steps=10,
+            beta_schedule="linear", timestep_selection="nonuniform-4060",
+        ),
+        loss=LossConfig(kind="diffusion"),
+        train=TrainConfig(
+            learning_rate=2e-5, optimizer="adamw", grad_clip_norm=1.0,
+            epochs=40,
         ),
     ),
     # base_ch=128 / time_dim=256 variant, cosine β, lr 2e-5, 20 epochs

@@ -29,12 +29,12 @@ from mrisr_tpu.models.unet import UNet
 
 def _unet(cfg: ModelConfig, dtype):
     return UNet(out_channels=cfg.out_channels, features=cfg.base_features,
-                use_bias=True, dtype=dtype)
+                use_bias=True, dtype=dtype, remat=cfg.remat)
 
 
 def _unet_gan(cfg: ModelConfig, dtype):
     return UNet(out_channels=cfg.out_channels, features=cfg.base_features,
-                use_bias=False, dtype=dtype)
+                use_bias=False, dtype=dtype, remat=cfg.remat)
 
 
 def _deepcnn(cfg: ModelConfig, dtype):

@@ -28,11 +28,21 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     # False -> BN-folded inference topology (see ckpt/fold_bn.py)
     use_bn: bool = True
+    # rematerialize each double-conv in backward: activation memory of the
+    # block drops to its inputs, at ~1/3 extra forward FLOPs — lets training
+    # batches past the non-remat HBM ceiling (measured: ARCHITECTURE.md)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        dc = lambda feat, name: DoubleConv(  # noqa: E731
+        # static_argnums=(2,): (0=module, 1=x, 2=train) — train selects the
+        # BN branch and must stay a Python bool under nn.remat
+        block = (
+            nn.remat(DoubleConv, static_argnums=(2,)) if self.remat
+            else DoubleConv
+        )
+        dc = lambda feat, name: block(  # noqa: E731
             feat, use_bias=self.use_bias, dtype=self.dtype, name=name,
             use_bn=self.use_bn,
         )

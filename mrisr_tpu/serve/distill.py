@@ -11,7 +11,8 @@ the target back inside the roofline; distilling it from the trained 31 M
 teacher (instead of training from scratch) is the standard way to keep the
 teacher's accuracy at serving time.  The reference has no distillation
 anywhere — this is a TPU-serving addition, measured like the int8 path
-(speed in bench.py --features, accuracy in benchmarks/distill_accuracy.py).
+(speed via ``bench.py --features``, accuracy via ``cli eval --model
+unet_distilled`` — demo anchor at results_demo/unet_distilled_test_metrics.json).
 
 Loss: ``alpha * MSE(student, teacher(x)) + (1 - alpha) * MSE(student, gt)``
 — soft-target matching plus ground-truth anchoring.  The teacher runs

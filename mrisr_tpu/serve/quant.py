@@ -18,8 +18,13 @@ Scheme (standard symmetric post-training quantization):
   input is 127*127*9*1024 ≈ 1.5e8, well inside int32);
 - dequantize with the fused ``a_scale * w_scale`` per-channel factor, add
   bias, ReLU — all elementwise, fused by XLA into the conv epilogue;
-- the 4 ConvTranspose upconvs and the final 1x1 conv stay bf16 (together
-  ~5% of FLOPs; quantizing them buys nothing measurable).
+- the 4 ConvTranspose upconvs and the final 3x3 conv are ALSO quantized
+  (since r3): with kernel == stride the transposed conv is a dense matmul
+  and quantizes like any conv, and emitting the decoder tensors as int8
+  removes the last bf16 activations from HBM.  Old calibration dicts
+  without upconv/final entries still load — those layers then stay bf16
+  (both weight forms are stored, so serving bundles are forward/backward
+  compatible).
 
 The reference has no quantization anywhere (pure fp32 PyTorch,
 `/root/reference/src/ModelLoader.py`); this is a TPU-serving addition.
@@ -108,9 +113,11 @@ def _unet_float_with_stats(params: Dict, x: jax.Array, dtype=jnp.bfloat16,
                      stat_fn)
     for name, skip in zip(_BLOCKS_UP, reversed(skips)):
         up = f"upconv{name[-1]}"
+        stats[up] = stat_fn(x)
         x = _upconv(x, params[up], dtype)
         x = jnp.concatenate([x, skip], axis=-1)
         x = _float_block(params[name], x, stats, name, dtype, stat_fn)
+    stats["final"] = stat_fn(x)
     x = _conv3x3(x.astype(dtype), params["final"]["kernel"].astype(dtype))
     x = x + params["final"]["bias"].astype(dtype)
     return x.astype(jnp.float32), stats
@@ -141,41 +148,56 @@ def calibrate_unet(
     return acc
 
 
+def _quantize_conv(kernel, bias, a_absmax: float) -> Dict:
+    """Symmetric per-output-channel weight + per-layer activation tables."""
+    w = jnp.asarray(kernel, jnp.float32)  # (..., I, O)
+    w_absmax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    w_scale = w_absmax / 127.0
+    w_int8 = jnp.clip(
+        jnp.round(w / jnp.maximum(w_scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    a_scale = jnp.asarray(max(a_absmax, 1e-12) / 127.0, jnp.float32)
+    return {
+        "w_int8": w_int8,
+        "a_scale": a_scale,
+        "scale": (a_scale * w_scale).astype(jnp.float32),
+        "bias": jnp.asarray(bias, jnp.float32),
+    }
+
+
 def quantize_unet(variables: Dict, calib: Dict[str, float]) -> Dict:
     """Folded fp params + calibration absmax -> int8 serving params.
 
     Returns a pytree: quantized double-conv blocks ({w_int8, scale, bias}
     per conv, where scale = a_scale * per-channel w_scale is the fused
-    dequant factor and a_scale rides along for the input quantizer) plus
-    the untouched fp upconv/final entries.
+    dequant factor and a_scale rides along for the input quantizer).  The
+    upconv/final entries keep their bf16 kernel/bias (for the plain path
+    and old bundles) and — when the calibration dict has their input
+    ranges (r3 calibrations do) — additionally carry int8 tables so the
+    fused path runs the WHOLE network on the int8 MXU rate.
     """
     params = variables["params"]
     _require_folded_unet(params, "quantize_unet")
     out: Dict = {}
     for name, sub in params.items():
         if name.startswith(("enc", "dec", "bottleneck")):
-            q = {}
-            for cn in ("Conv_0", "Conv_1"):
-                w = jnp.asarray(sub[cn]["kernel"], jnp.float32)  # (3,3,I,O)
-                w_absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))  # per out-ch
-                w_scale = w_absmax / 127.0
-                w_int8 = jnp.clip(
-                    jnp.round(w / jnp.maximum(w_scale, 1e-12)), -127, 127
-                ).astype(jnp.int8)
-                a_scale = jnp.asarray(
-                    max(calib[f"{name}/{cn}"], 1e-12) / 127.0, jnp.float32
-                )
-                q[cn] = {
-                    "w_int8": w_int8,
-                    "a_scale": a_scale,
-                    "scale": (a_scale * w_scale).astype(jnp.float32),
-                    "bias": jnp.asarray(sub[cn]["bias"], jnp.float32),
-                }
-            out[name] = q
-        else:  # upconvN / final stay bf16
             out[name] = {
-                k: jnp.asarray(v, jnp.bfloat16) for k, v in sub.items()
+                cn: _quantize_conv(
+                    sub[cn]["kernel"], sub[cn]["bias"], calib[f"{name}/{cn}"]
+                )
+                for cn in ("Conv_0", "Conv_1")
             }
+        else:  # upconvN / final: bf16 form always, int8 tables when calibrated
+            ent = {k: jnp.asarray(v, jnp.bfloat16) for k, v in sub.items()}
+            if name in calib:
+                ent.update(_quantize_conv(
+                    sub["kernel"], sub["bias"], calib[name]
+                ))
+                # bf16 'bias' stays for the plain path; int8 epilogues read
+                # the fp32 copy written by _quantize_conv
+                ent["bias"] = jnp.asarray(sub["bias"], jnp.bfloat16)
+                ent["qbias"] = jnp.asarray(sub["bias"], jnp.float32)
+            out[name] = ent
     return out
 
 
@@ -208,7 +230,43 @@ def _quant_input(x, a_scale):
     ).astype(jnp.int8)
 
 
-def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
+def _upconv_int8(xi, ent, a_next, impl: str = "einsum"):
+    """int8 ConvTranspose(k=2, s=2) + requantizing epilogue -> int8.
+
+    With kernel == stride the transposed conv is non-overlapping — a dense
+    (ci -> 4co) contraction per input pixel — so it runs on the MXU at the
+    int8 rate like any matmul; the epilogue dequantizes (per-out-channel),
+    adds bias and re-emits int8 at the following conv's activation scale
+    (no ReLU: the reference concatenates the raw upconv output,
+    /root/reference/src/ModelLoader.py:121-137).
+
+    impl='einsum' (default) computes the dense contraction + pixel shuffle
+    (models/blocks.py:PixelShuffleUpConv with the same spatial-flip weight
+    mapping) so no dilated-zero MACs reach the MXU; impl='convt' is the
+    lax.conv_transpose lowering for comparison (measured equal-throughput
+    to the bf16 decoder at batch 128 — the dilation wastes the int8 rate).
+    """
+    s = ent["scale"] / a_next          # (O,) fp32
+    b = ent["qbias"] / a_next
+    if impl == "convt":
+        y = jax.lax.conv_transpose(
+            xi, ent["w_int8"], (2, 2), "VALID", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * s + b
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    w = ent["w_int8"][::-1, ::-1]      # (2, 2, I, O) spatial flip
+    y = jnp.einsum(
+        "nhwc,ijco->nhiwjo", xi, w, preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * s + b
+    y = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    n, h, _, wd, _, co = y.shape
+    return y.reshape(n, h * 2, wd * 2, co)
+
+
+def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
+                          upconv_impl: str = "einsum"):
     """int8 UNet forward with int8-RESIDENT activations.
 
     Same quantization tables as :func:`unet_int8_apply` (build with
@@ -223,8 +281,12 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
       monotonic quantizer, so pooling runs on int8 codes) and int8 at the
       matching decoder Conv_0 scale for the skip connection.  Two int8
       tensors cost the same HBM bytes as the one bf16 tensor they replace;
-    - only the tensors feeding the bf16 ConvTranspose upconvs / final 1x1
-      conv are materialized in bf16 (as in the plain path).
+    - when the upconv/final int8 tables exist (r3 calibrations), the
+      ConvTranspose upconvs and the final 3x3 conv ALSO run int8 on the
+      MXU, and the decoder's inter-layer tensors stay int8 end to end —
+      only the network input and output are float.  With tables from an
+      old (pre-r3) calibration those layers fall back to bf16 exactly as
+      the r2 path did.
 
     Accuracy: same scheme as the plain path — the requantize rounds the
     fp32 epilogue value instead of a bf16-rounded copy, so the fused path
@@ -235,6 +297,10 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
         for blk in (*_BLOCKS_DOWN, "bottleneck", *_BLOCKS_UP)
         for cn in ("Conv_0", "Conv_1")
     }
+    full = all(
+        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
+                                        "upconv1", "final")
+    )
 
     skips = []  # int8, pre-quantized at the matching dec Conv_0 scale
     xi = _quant_input(x, a["enc1/Conv_0"])
@@ -254,8 +320,37 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16):
     y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
     xi = _requant_epilogue(y0, q["Conv_0"], a["bottleneck/Conv_1"])
     y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
-    xf = _float_epilogue(y1, q["Conv_1"], dtype)  # bf16 for the upconv
 
+    if full:
+        # decoder entirely int8: bottleneck emits at upconv4's input scale
+        xi = _requant_epilogue(y1, q["Conv_1"], qparams["upconv4"]["a_scale"])
+        for name, skip in zip(_BLOCKS_UP, reversed(skips)):
+            q = qparams[name]
+            xi = jnp.concatenate(
+                [
+                    _upconv_int8(
+                        xi, qparams[f"upconv{name[-1]}"],
+                        a[f"{name}/Conv_0"], impl=upconv_impl,
+                    ),
+                    skip,
+                ],
+                axis=-1,
+            )
+            y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
+            xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
+            y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
+            if name == "dec1":
+                xi = _requant_epilogue(
+                    y1, q["Conv_1"], qparams["final"]["a_scale"]
+                )
+            else:
+                nxt_up = qparams[f"upconv{int(name[-1]) - 1}"]
+                xi = _requant_epilogue(y1, q["Conv_1"], nxt_up["a_scale"])
+        f = qparams["final"]
+        yf = _conv3x3(xi, f["w_int8"], preferred=jnp.int32)
+        return yf.astype(jnp.float32) * f["scale"] + f["qbias"]
+
+    xf = _float_epilogue(y1, q["Conv_1"], dtype)  # bf16 for the upconv
     for name, skip in zip(_BLOCKS_UP, reversed(skips)):
         q = qparams[name]
         up = _upconv(xf, qparams[f"upconv{name[-1]}"], dtype)

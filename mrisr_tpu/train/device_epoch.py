@@ -67,6 +67,12 @@ class DeviceEpochRunner:
     step_takes_key: step signature (state, batch, key) — diffusion.
     multi_state: step signature (*states, batch) -> (*states, metrics) and
     the carry passed to :meth:`run_epoch` is a tuple of TrainStates — GAN.
+    mesh: a ('data', 'model') Mesh for data-parallel epochs (SURVEY.md §2.5
+    DP row).  The slice bank and plan are replicated across the mesh and the
+    gathered batch is sharding-constrained onto the 'data' axis inside the
+    scan body, so each chip gathers + steps only its batch shard; with the
+    carry (params/opt state) replicated, GSPMD emits the gradient psum over
+    ICI automatically.  ``mesh=None`` is the unchanged single-device path.
     """
 
     def __init__(
@@ -78,10 +84,27 @@ class DeviceEpochRunner:
         augment: Optional[_AugmentSpec] = None,
         step_takes_key: bool = False,
         multi_state: bool = False,
+        mesh=None,
     ):
         assert bank.backend == "device", "DeviceEpochRunner needs a device bank"
-        self.flat = bank.flat  # (S, H, W) device array
-        self.plan = jax.device_put(jnp.asarray(plan_flat, jnp.int32))
+        self.mesh = mesh
+        batch_spec = None
+        if mesh is not None:
+            from mrisr_tpu.parallel.mesh import batch_sharding, replicated
+
+            n_data = mesh.shape["data"]
+            assert batch_size % n_data == 0, (
+                f"batch_size {batch_size} not divisible by the mesh's "
+                f"data axis ({n_data})"
+            )
+            self.flat = jax.device_put(bank.flat, replicated(mesh))
+            self.plan = jax.device_put(
+                jnp.asarray(plan_flat, jnp.int32), replicated(mesh)
+            )
+            batch_spec = batch_sharding(mesh)
+        else:
+            self.flat = bank.flat  # (S, H, W) device array
+            self.plan = jax.device_put(jnp.asarray(plan_flat, jnp.int32))
         self.batch_size = batch_size
         self.steps_per_epoch = plan_flat.shape[0] // batch_size
         assert self.steps_per_epoch > 0, (
@@ -104,6 +127,11 @@ class DeviceEpochRunner:
                 rows = plan[idx]                      # (B, C)
                 stack = flat[rows]                    # (B, C, H, W)
                 batch = jnp.moveaxis(stack, 1, -1).astype(jnp.float32)
+                if batch_spec is not None:
+                    # pin the batch to the 'data' axis; GSPMD back-propagates
+                    # the sharding through the gather so each chip reads only
+                    # its rows, and forward through the step compute
+                    batch = jax.lax.with_sharding_constraint(batch, batch_spec)
                 if aug.enabled:
                     batch = paired_augment(
                         jax.random.fold_in(k_aug, step), batch,

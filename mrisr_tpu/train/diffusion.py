@@ -18,34 +18,65 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrisr_tpu.config import Config
-from mrisr_tpu.models.diffusion import DiffusionSchedule, sample_ancestral
+from mrisr_tpu.models.diffusion import (
+    DiffusionSchedule,
+    FastNoiseSchedule,
+    sample_ancestral,
+    sample_ddim,
+)
 from mrisr_tpu.models.registry import init_model
 from mrisr_tpu.train.history import TrainingHistory
 from mrisr_tpu.train.state import create_train_state, make_optimizer
-from mrisr_tpu.train.steps import make_diffusion_steps
+from mrisr_tpu.train.steps import (
+    make_diffusion_steps,
+    make_simple_diffusion_steps,
+)
 from mrisr_tpu.train.trainer import _EpochLoopMixin, _mean_metrics
 
 
 class DiffusionTrainer(_EpochLoopMixin):
+    """Covers both lineages by ``config.model.name``:
+
+    - 'fastddpm' (M11, default): 1000-step DDPMScheduler + selection,
+      antithetic t over the selected steps, ancestral sampling
+      (Fixed:cell11/cell13 semantics);
+    - 'fastddpm_simple' (M10): compressed-T FastNoiseSchedule, [x, cond]
+      input order, DDIM sampling (ModelLoader.py:466-636).
+    """
+
     def __init__(self, config: Config, image_size=(256, 256), mesh=None,
                  steps_per_epoch: Optional[int] = None):
         """``steps_per_epoch`` enables the v2-notebook CosineAnnealingLR
         variant when ``config.train.lr_schedule == 'cosine'``."""
         self.config = config
+        self.mesh = mesh
         dtype = (
             jnp.bfloat16 if config.train.compute_dtype == "bfloat16"
             else jnp.float32
         )
+        name = config.model.name
+        self.simple = name == "fastddpm_simple"
         self.model, variables, _ = init_model(
-            "fastddpm", config.model, dtype=dtype, image_size=image_size,
-            seed=config.train.seed,
+            name if self.simple else "fastddpm", config.model, dtype=dtype,
+            image_size=image_size, seed=config.train.seed,
         )
-        self.schedule = DiffusionSchedule.create(
-            num_timesteps=config.model.num_timesteps,
-            num_inference_steps=config.model.num_inference_steps,
-            beta_schedule=config.model.beta_schedule,
-            selection=config.model.timestep_selection,
-        )
+        if self.simple:
+            self.schedule = FastNoiseSchedule.create(
+                config.model.num_inference_steps
+            )
+            steps = lambda **kw: make_simple_diffusion_steps(  # noqa: E731
+                self.schedule, **kw
+            )
+        else:
+            self.schedule = DiffusionSchedule.create(
+                num_timesteps=config.model.num_timesteps,
+                num_inference_steps=config.model.num_inference_steps,
+                beta_schedule=config.model.beta_schedule,
+                selection=config.model.timestep_selection,
+            )
+            steps = lambda **kw: make_diffusion_steps(  # noqa: E731
+                self.schedule, **kw
+            )
         self.state = create_train_state(
             self.model, variables,
             make_optimizer(config.train, steps_per_epoch=steps_per_epoch),
@@ -54,19 +85,20 @@ class DiffusionTrainer(_EpochLoopMixin):
             from mrisr_tpu.parallel.mesh import replicated
 
             self.state = jax.device_put(self.state, replicated(mesh))
-        self.train_step, self.eval_step = make_diffusion_steps(
-            self.schedule, donate=config.train.donate_batch
+        self.train_step, self.eval_step = steps(
+            donate=config.train.donate_batch
         )
-        self._raw_train_step, _ = make_diffusion_steps(
-            self.schedule, jit_steps=False
-        )
+        self._raw_train_step, _ = steps(jit_steps=False)
         self._device_runner = None
         self.key = jax.random.PRNGKey(config.train.seed)
         self.history = TrainingHistory(json.loads(config.to_json()))
+
         def _sample_first(params, cond, key):
             eps = lambda x_in, t: self.model.apply(  # noqa: E731
                 {"params": params}, x_in, t
             )
+            if self.simple:
+                return sample_ddim(eps, cond, key, self.schedule)
             return sample_ancestral(eps, cond, key, self.schedule, combine="first")
 
         self._jit_sample = jax.jit(_sample_first)
@@ -111,7 +143,9 @@ class DiffusionTrainer(_EpochLoopMixin):
         (`Fixed:cell13`); 'mean' gives the v2 behavior.
         """
         key = key if key is not None else jax.random.PRNGKey(0)
-        if combine == "first":
+        if combine == "first" or self.simple:
+            # the simple (M10) lineage samples deterministically via DDIM —
+            # 'mean'/'first' over repeats would be identical draws
             return self._jit_sample(self.state.params, cond, key)
         return sample_ancestral(
             self._eps_fn, cond, key, self.schedule,

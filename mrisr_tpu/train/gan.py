@@ -31,6 +31,7 @@ class GANTrainer(_EpochLoopMixin):
         mesh=None,
     ):
         self.config = config
+        self.mesh = mesh
         import jax.numpy as jnp
 
         dtype = (

@@ -173,6 +173,59 @@ def make_diffusion_steps(
     )
 
 
+def make_simple_diffusion_steps(
+    schedule, donate: bool = True, jit_steps: bool = True
+):
+    """ε-prediction steps for the M10 "simple" Fast-DDPM lineage.
+
+    Parity with ``FastDDPM.forward`` (`/root/reference/src/ModelLoader.py:
+    595-602`): timesteps are the COMPRESSED indices 0..T-1, noising uses the
+    compressed ᾱ table (``FastNoiseSchedule.q_sample``), and the model input
+    is ``[x_noisy, pre, post]`` — x FIRST, unlike the Fixed lineage.  The
+    training notebook (FastDDPM_Simple.ipynb) is lost, so the t-sampling
+    follows the house style of the surviving loop: antithetic uniform
+    training draws, fixed linspace validation draws (Fixed:cell11).
+    """
+    n_sel = schedule.T
+
+    def _x_in(batch, t, key):
+        pre, post, target = batch[..., 0:1], batch[..., 1:2], batch[..., 2:3]
+        noise = jax.random.normal(key, target.shape, jnp.float32)
+        x_noisy = schedule.q_sample(target, t, noise)
+        return jnp.concatenate([x_noisy, pre, post], axis=-1), noise
+
+    def train_step(state: TrainState, batch: jax.Array, key: jax.Array):
+        b = batch.shape[0]
+        k_t, k_n = jax.random.split(key)
+        half = b // 2 + 1
+        t = jax.random.randint(k_t, (half,), 0, n_sel)
+        t = jnp.concatenate([t, n_sel - t - 1])[:b]
+        x_in, noise = _x_in(batch, t, k_n)
+
+        def loss_wrapped(params):
+            eps = state.apply_fn({"params": params}, x_in, t)
+            return mse(eps, noise)
+
+        loss, grads = jax.value_and_grad(loss_wrapped)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss}
+
+    def eval_step(state: TrainState, batch: jax.Array, key: jax.Array):
+        b = batch.shape[0]
+        t = jnp.floor(jnp.linspace(0.0, n_sel - 1, b)).astype(jnp.int32)
+        x_in, noise = _x_in(batch, t, key)
+        eps = state.apply_fn({"params": state.params}, x_in, t)
+        return {"loss": mse(eps, noise)}
+
+    if not jit_steps:
+        return train_step, eval_step
+    donate_args = (0,) if donate else ()
+    return (
+        jax.jit(train_step, donate_argnums=donate_args),
+        jax.jit(eval_step),
+    )
+
+
 # ----------------------------------------------------------------------- GAN
 
 

@@ -54,13 +54,16 @@ class _EpochLoopMixin:
         and ``plan_flat`` the loader's (N, 3) pair / (N, 5) window flat
         slice plan.  Validation still uses the regular loader path.
         Subclasses pass their step-signature flags via ``runner_kwargs``
-        (GAN: multi_state=True; diffusion: step_takes_key=True)."""
+        (GAN: multi_state=True; diffusion: step_takes_key=True).  When the
+        trainer was built with a mesh, the runner shards each batch across
+        the mesh's 'data' axis (data-parallel scan epochs)."""
         from mrisr_tpu.train.device_epoch import DeviceEpochRunner
 
         self._device_runner = DeviceEpochRunner(
             bank, plan_flat, self._raw_train_step,
             batch_size=self.config.data.batch_size,
             augment=augment or self._augment_spec(),
+            mesh=getattr(self, "mesh", None),
             **runner_kwargs,
         )
 

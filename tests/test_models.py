@@ -361,3 +361,33 @@ def test_fastddpm_128_param_count():
     t = jnp.zeros((1,), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), x, t)
     assert param_count(variables["params"]) == 55_562_497
+
+
+def test_unet_remat_matches_plain():
+    """remat=True must change only the backward's memory schedule: same
+    params, same loss, same gradients as the plain UNet (it feeds the
+    training-batch sweep in benchmarks/train_throughput.py --remat)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 2))
+    m0, m1 = UNet(features=4), UNet(features=4, remat=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    # identical init: remat does not alter the param tree
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+
+    def loss_and_grads(model):
+        def f(p):
+            y, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            return jnp.mean(jnp.square(y))
+
+        return jax.jit(jax.value_and_grad(f))(v["params"])
+
+    l0, g0 = loss_and_grads(m0)
+    l1, g1 = loss_and_grads(m1)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -46,8 +46,9 @@ def test_float_forward_matches_flax(folded, batch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
-    # one absmax per conv of the 9 double-conv blocks
-    assert len(stats) == 18
+    # one absmax per conv of the 9 double-conv blocks, plus the 4 upconv
+    # inputs and the final-conv input (full-int8 decoder, r3)
+    assert len(stats) == 23
     assert all(float(v) > 0 for v in stats.values())
 
 
@@ -74,8 +75,13 @@ def test_int8_weight_tables(folded, batch):
     assert c0["w_int8"].dtype == jnp.int8
     assert int(jnp.max(jnp.abs(c0["w_int8"]))) == 127  # absmax maps to 127
     assert c0["scale"].shape == (F,)
-    # upconv/final stayed float
+    # upconv/final carry BOTH forms: bf16 (plain path / old bundles) and
+    # int8 tables (full-int8 fused decoder)
     assert q["final"]["kernel"].dtype == jnp.bfloat16
+    assert q["final"]["w_int8"].dtype == jnp.int8
+    assert q["upconv4"]["w_int8"].dtype == jnp.int8
+    assert q["upconv4"]["w_int8"].shape == q["upconv4"]["kernel"].shape
+    assert q["upconv4"]["qbias"].dtype == jnp.float32
 
 
 def test_int8_fused_matches_plain(folded, batch):
@@ -112,6 +118,46 @@ def test_int8_fused_matches_plain(folded, batch):
         np.linalg.norm(y_plain) + 1e-12
     )
     assert rel_pair < 0.1, rel_pair
+
+
+def test_fused_full_int8_decoder(folded, batch):
+    """With upconv/final calibrated, the fused path runs the decoder in
+    int8 end-to-end and must stay close to float; with an r2-style calib
+    (no upconv/final entries) it must fall back to the bf16 decoder and
+    still work (old serving bundles)."""
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    assert "upconv4" in calib and "final" in calib
+    y_fp = np.asarray(
+        UNet(features=F, use_bn=False).apply(folded, batch, train=False)
+    )
+
+    q_full = quantize_unet(folded, calib)
+    y_full = np.asarray(
+        jax.jit(lambda p, x: unet_int8_fused_apply(p, x, dtype=jnp.float32))(
+            q_full, batch
+        )
+    )
+    assert np.isfinite(y_full).all()
+    rel_full = np.linalg.norm(y_full - y_fp) / (np.linalg.norm(y_fp) + 1e-12)
+    assert rel_full < 0.15, rel_full
+
+    legacy_calib = {
+        k: v for k, v in calib.items()
+        if not (k.startswith("upconv") or k == "final")
+    }
+    q_legacy = quantize_unet(folded, legacy_calib)
+    assert "w_int8" not in q_legacy["upconv4"]
+    y_legacy = np.asarray(
+        jax.jit(lambda p, x: unet_int8_fused_apply(p, x, dtype=jnp.float32))(
+            q_legacy, batch
+        )
+    )
+    rel_legacy = np.linalg.norm(y_legacy - y_fp) / (
+        np.linalg.norm(y_fp) + 1e-12
+    )
+    assert rel_legacy < 0.15, rel_legacy
+    # full int8 should not be meaningfully worse than the bf16-decoder path
+    assert rel_full < rel_legacy * 1.5 + 0.02, (rel_full, rel_legacy)
 
 
 def test_quantize_rejects_unfolded_tree(batch):

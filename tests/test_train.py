@@ -156,6 +156,28 @@ def test_diffusion_training_and_resume(store, tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_simple_diffusion_training_and_ddim_sampling(store, tmp_path):
+    """fastddpm_simple (M10): compressed-T steps + DDIM sampling through
+    the same DiffusionTrainer, reachable via its preset (VERDICT r2 #6)."""
+    from mrisr_tpu.models.diffusion import FastNoiseSchedule
+    from mrisr_tpu.train import DiffusionTrainer
+
+    cfg = _cfg("fastddpm_simple", tmp_path)
+    trainer = DiffusionTrainer(cfg, image_size=HW)
+    assert trainer.simple
+    assert isinstance(trainer.schedule, FastNoiseSchedule)
+    loader = build_loader(store, "train", cfg.data)
+    hist = trainer.fit(loader, None, epochs=2, verbose=False)
+    assert len(hist.series["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in hist.series["train_loss"])
+
+    cond = jnp.zeros((2, *HW, 2))
+    out = trainer.sample(cond, jax.random.PRNGKey(0))
+    assert out.shape == (2, *HW, 1)
+    a = np.asarray(out)
+    assert np.isfinite(a).all() and a.min() >= -1.0 and a.max() <= 1.0
+
+
 def test_early_stopping(store, tmp_path):
     from mrisr_tpu.train import SupervisedTrainer
 
