@@ -230,7 +230,7 @@ def _quant_input(x, a_scale):
     ).astype(jnp.int8)
 
 
-def _upconv_int8(xi, ent, a_next, impl: str = "einsum"):
+def _upconv_int8(xi, ent, a_next, impl: str = "convt"):
     """int8 ConvTranspose(k=2, s=2) + requantizing epilogue -> int8.
 
     With kernel == stride the transposed conv is non-overlapping — a dense
@@ -240,11 +240,12 @@ def _upconv_int8(xi, ent, a_next, impl: str = "einsum"):
     (no ReLU: the reference concatenates the raw upconv output,
     /root/reference/src/ModelLoader.py:121-137).
 
-    impl='einsum' (default) computes the dense contraction + pixel shuffle
-    (models/blocks.py:PixelShuffleUpConv with the same spatial-flip weight
-    mapping) so no dilated-zero MACs reach the MXU; impl='convt' is the
-    lax.conv_transpose lowering for comparison (measured equal-throughput
-    to the bf16 decoder at batch 128 — the dilation wastes the int8 rate).
+    Both lowerings were measured on v5e at batch 128 (full int8_fused
+    program): 'convt' (lax.conv_transpose) 2,652 slices/s vs 'einsum'
+    (dense contraction + pixel shuffle, models/blocks.py weight mapping)
+    2,510 — the shuffle's reshape/transpose traffic costs more than the
+    dilated-zero MACs it avoids, the same outcome as the bf16 UpConv2x2
+    measurement, so 'convt' is the default.
     """
     s = ent["scale"] / a_next          # (O,) fp32
     b = ent["qbias"] / a_next
@@ -266,7 +267,7 @@ def _upconv_int8(xi, ent, a_next, impl: str = "einsum"):
 
 
 def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
-                          upconv_impl: str = "einsum"):
+                          upconv_impl: str = "convt"):
     """int8 UNet forward with int8-RESIDENT activations.
 
     Same quantization tables as :func:`unet_int8_apply` (build with
