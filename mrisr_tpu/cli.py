@@ -31,6 +31,15 @@ def _add_common_train_args(p):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--results-dir", default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--lr", type=float, default=None,
+                   help="learning rate override (default: preset value)")
+    p.add_argument("--lr-schedule", default=None,
+                   choices=("constant", "cosine"),
+                   help="LR schedule; 'cosine' decays to 0 over the full "
+                        "--epochs budget (disable early stopping with a "
+                        "large --patience when using it)")
+    p.add_argument("--patience", type=int, default=None,
+                   help="early-stopping patience override (epochs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--backend", default="host", choices=("host", "device"))
     p.add_argument("--features", type=int, default=None,
@@ -74,6 +83,12 @@ def _build_config(args, preset_name):
         **({"results_dir": args.results_dir} if args.results_dir else {}),
         **({"epochs": args.epochs} if args.epochs else {}),
         **({"compute_dtype": "bfloat16"} if args.bf16 else {}),
+        **({"learning_rate": args.lr}
+           if getattr(args, "lr", None) is not None else {}),
+        **({"lr_schedule": args.lr_schedule}
+           if getattr(args, "lr_schedule", None) else {}),
+        **({"early_stopping_patience": args.patience}
+           if getattr(args, "patience", None) is not None else {}),
     )
     model = cfg.model
     if getattr(args, "features", None):
@@ -180,6 +195,7 @@ def cmd_synth(args):
     store = make_synthetic_store(
         args.out, num_patients=args.patients,
         slices_per_volume=args.slices, height=args.size, width=args.size,
+        seed=args.seed,
     )
     print(f"packed {len(store)} synthetic series -> {args.out}")
 
@@ -233,7 +249,8 @@ def cmd_train(args):
         from mrisr_tpu.train import SupervisedTrainer
 
         trainer = SupervisedTrainer(cfg, perceptual_fn=perceptual_fn,
-                                    image_size=hw, mesh=mesh)
+                                    image_size=hw, mesh=mesh,
+                                    steps_per_epoch=len(train_loader))
     if args.scan_epochs:
         if args.backend != "device":
             raise SystemExit("--scan-epochs requires --backend device")
@@ -254,6 +271,12 @@ def cmd_distill(args):
     from mrisr_tpu.serve.distill import DistillationTrainer
 
     cfg = _build_config(args, args.preset)
+    if args.distill_alpha is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(
+                cfg.loss, distill_alpha=args.distill_alpha))
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     mesh = _training_mesh(cfg)
@@ -282,6 +305,7 @@ def cmd_distill(args):
         teacher_cfg=teacher_cfg,
         image_size=hw,
         mesh=mesh,
+        steps_per_epoch=len(train_loader),
     )
     if args.scan_epochs:
         if args.backend != "device":
@@ -614,6 +638,11 @@ def main(argv=None):
     q.add_argument("--patients", type=int, default=8)
     q.add_argument("--slices", type=int, default=60)
     q.add_argument("--size", type=int, default=256)
+    q.add_argument("--seed", type=int, default=0,
+                   help="base phantom seed (patient p uses seed+p); pick a "
+                        "disjoint range to build a store whose anatomy does "
+                        "not overlap another store's, e.g. a distillation "
+                        "corpus vs the eval store")
     q.set_defaults(fn=cmd_synth)
 
     from mrisr_tpu.config import PRESETS as _PRESETS
@@ -641,6 +670,10 @@ def main(argv=None):
                    help="teacher checkpoint dir (default: --checkpoint-dir)")
     q.add_argument("--teacher-features", type=int, default=None,
                    help="teacher base feature width if not the default 64")
+    q.add_argument("--distill-alpha", type=float, default=None,
+                   help="weight of the teacher-matching MSE term "
+                        "(1-alpha weighs ground truth; 1.0 = pure "
+                        "teacher mimicry, the serving-replica setting)")
     q.add_argument("--config", default=None)
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)

@@ -133,8 +133,10 @@ class DistillationTrainer(SupervisedTrainer):
         teacher_cfg=None,
         image_size=(256, 256),
         mesh=None,
+        steps_per_epoch=None,
     ):
-        super().__init__(config, image_size=image_size, mesh=mesh)
+        super().__init__(config, image_size=image_size, mesh=mesh,
+                         steps_per_epoch=steps_per_epoch)
         if self.kind != "pair":
             raise ValueError("distillation supports pair models only")
         if teacher_fn is None:

@@ -230,7 +230,7 @@ def _quant_input(x, a_scale):
     ).astype(jnp.int8)
 
 
-def _upconv_int8(xi, ent, a_next, impl: str = "convt"):
+def _upconv_int8(xi, ent, a_next, impl: str = "convt", skip=None):
     """int8 ConvTranspose(k=2, s=2) + requantizing epilogue -> int8.
 
     With kernel == stride the transposed conv is non-overlapping — a dense
@@ -240,15 +240,23 @@ def _upconv_int8(xi, ent, a_next, impl: str = "convt"):
     (no ReLU: the reference concatenates the raw upconv output,
     /root/reference/src/ModelLoader.py:121-137).
 
-    Both lowerings were measured on v5e at batch 128 (full int8_fused
-    program): 'convt' (lax.conv_transpose) 2,652 slices/s vs 'einsum'
-    (dense contraction + pixel shuffle, models/blocks.py weight mapping)
-    2,510 — the shuffle's reshape/transpose traffic costs more than the
-    dilated-zero MACs it avoids, the same outcome as the bf16 UpConv2x2
-    measurement, so 'convt' is the default.
+    Three lowerings, measured on v5e at batch 128 (full int8_fused
+    program): 'convt' (lax.conv_transpose) 2,652 slices/s — XLA's dilated
+    lowering executes 4x the useful MACs; 'einsum' (dense contraction +
+    pixel shuffle, models/blocks.py weight mapping) 2,510 — kills the
+    dilation waste but the phase un-interleave materializes through HBM;
+    'pallas' (ops/upconv_pallas.py) does the dense contraction with the
+    phase shuffle, requant epilogue AND the decoder concatenate (``skip``)
+    fused in VMEM.  ``skip`` is only honored by 'pallas'; other impls
+    ignore it and the caller concatenates.
     """
     s = ent["scale"] / a_next          # (O,) fp32
     b = ent["qbias"] / a_next
+    if impl == "pallas":
+        from mrisr_tpu.ops.upconv_pallas import pack_upconv, upconv2x2_int8
+
+        w2, s4, b4 = pack_upconv(ent["w_int8"], s, b)
+        return upconv2x2_int8(xi, w2, s4, b4, skip=skip)
     if impl == "convt":
         y = jax.lax.conv_transpose(
             xi, ent["w_int8"], (2, 2), "VALID", dimension_numbers=_DN,
@@ -327,16 +335,23 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
         xi = _requant_epilogue(y1, q["Conv_1"], qparams["upconv4"]["a_scale"])
         for name, skip in zip(_BLOCKS_UP, reversed(skips)):
             q = qparams[name]
-            xi = jnp.concatenate(
-                [
-                    _upconv_int8(
-                        xi, qparams[f"upconv{name[-1]}"],
-                        a[f"{name}/Conv_0"], impl=upconv_impl,
-                    ),
-                    skip,
-                ],
-                axis=-1,
-            )
+            if upconv_impl == "pallas":
+                # concat fused into the kernel's output write
+                xi = _upconv_int8(
+                    xi, qparams[f"upconv{name[-1]}"],
+                    a[f"{name}/Conv_0"], impl=upconv_impl, skip=skip,
+                )
+            else:
+                xi = jnp.concatenate(
+                    [
+                        _upconv_int8(
+                            xi, qparams[f"upconv{name[-1]}"],
+                            a[f"{name}/Conv_0"], impl=upconv_impl,
+                        ),
+                        skip,
+                    ],
+                    axis=-1,
+                )
             y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
             xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
             y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)

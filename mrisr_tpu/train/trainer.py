@@ -208,6 +208,7 @@ class SupervisedTrainer(_EpochLoopMixin):
         perceptual_fn: Optional[Callable] = None,
         image_size=(256, 256),
         mesh=None,
+        steps_per_epoch: Optional[int] = None,
     ):
         self.config = config
         self.mesh = mesh
@@ -220,7 +221,9 @@ class SupervisedTrainer(_EpochLoopMixin):
             name, config.model, dtype=dtype, image_size=image_size,
             seed=config.train.seed,
         )
-        tx = make_optimizer(config.train)
+        # steps_per_epoch is only needed by step-indexed LR schedules
+        # (lr_schedule='cosine'); constant-LR presets may omit it
+        tx = make_optimizer(config.train, steps_per_epoch=steps_per_epoch)
         self.state = create_train_state(self.model, variables, tx)
         if mesh is not None:
             from mrisr_tpu.parallel.mesh import replicated

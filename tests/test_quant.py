@@ -190,3 +190,26 @@ def test_percentile_calibration(folded, batch):
     err = float(jnp.mean(jnp.abs(y - ref))) / (
         float(jnp.mean(jnp.abs(ref))) + 1e-8)
     assert err < 0.25  # same sanity bound as the absmax-path test
+
+
+def test_fused_pallas_upconvs_match_convt(folded, batch):
+    """upconv_impl='pallas' (ops/upconv_pallas.py: matmul + in-VMEM phase
+    shuffle + fused concat) must produce the same program output as the
+    default conv_transpose lowering up to int8 rounding at .5 boundaries."""
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q = quantize_unet(folded, calib)
+    run = lambda impl: np.asarray(  # noqa: E731
+        jax.jit(
+            lambda p, x: unet_int8_fused_apply(
+                p, x, dtype=jnp.float32, upconv_impl=impl
+            )
+        )(q, batch)
+    )
+    y_convt = run("convt")
+    y_pallas = run("pallas")
+    # off-by-one int8 codes in the upconv can propagate; demand tight
+    # agreement in relative norm rather than exact codes
+    rel = np.linalg.norm(y_pallas - y_convt) / (
+        np.linalg.norm(y_convt) + 1e-12
+    )
+    assert rel < 0.02, rel
