@@ -73,6 +73,8 @@ def bench_unet_inference(
     repeats: int = 2,
     quant: str = "none",
     features: int = 64,
+    upconv_impl: str = "convt",
+    skip_emit: str = "dual",
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -107,8 +109,14 @@ def bench_unet_inference(
         )
         qparams = quantize_unet(folded, calibrate_unet(folded, [calib_x]))
         variables = qparams
-        fwd = unet_int8_fused_apply if quant == "int8_fused" else unet_int8_apply
-        apply_fn = lambda v, b: fwd(v, b)  # noqa: E731
+        if quant == "int8_fused":
+            # upconv_impl / skip_emit select measured lowering variants of
+            # the fused path (serve/quant.py docstrings carry the numbers)
+            apply_fn = lambda v, b: unet_int8_fused_apply(  # noqa: E731
+                v, b, upconv_impl=upconv_impl, skip_emit=skip_emit
+            )
+        else:
+            apply_fn = lambda v, b: unet_int8_apply(v, b)  # noqa: E731
     else:
         variables = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -151,6 +159,10 @@ def bench_unet_inference(
         result["quant"] = quant
     if features != 64:
         result["features"] = features
+    if upconv_impl != "convt":
+        result["upconv_impl"] = upconv_impl
+    if skip_emit != "dual":
+        result["skip_emit"] = skip_emit
     if gflops_per_slice is not None:
         # int8 programs report conv flops on the same 2xMAC convention, so
         # MFU stays against the bf16 peak: >1.0 means the int8 path passed
@@ -174,10 +186,14 @@ def main():
         choices=("none", "int8", "int8_fused"),
     )
     p.add_argument("--features", type=int, default=64)
+    p.add_argument("--upconv-impl", default="convt",
+                   choices=("convt", "einsum", "pallas"))
+    p.add_argument("--skip-emit", default="dual", choices=("dual", "shared"))
     args = p.parse_args()
     result = bench_unet_inference(
         batch_size=args.batch_size, scan_len=args.scan_len,
         repeats=args.repeats, quant=args.quant, features=args.features,
+        upconv_impl=args.upconv_impl, skip_emit=args.skip_emit,
     )
     print(json.dumps(result))
 

@@ -201,15 +201,22 @@ def quantize_unet(variables: Dict, calib: Dict[str, float]) -> Dict:
     return out
 
 
-def _requant_epilogue(y_i32, lq, a_next, *, relu=True):
+def _requant_epilogue(y_i32, lq, a_next, *, relu=True, in_ratio=None):
     """Fused conv epilogue: dequant + bias + ReLU + requantize to the NEXT
     conv's activation scale, emitting int8 directly.
 
     XLA fuses this whole chain into the conv's output loop, so the tensor
     written to HBM is int8 — half the bytes of the bf16 activations the
     plain path materializes between convs (see :func:`unet_int8_fused_apply`).
+
+    ``in_ratio``: when the conv's int8 input codes were emitted at a scale
+    OTHER than the calibrated one (skip_emit='shared'), the actual/calibrated
+    scale ratio rides into the dequant factor here — exact, since the
+    dequant is linear in the input scale.
     """
     s = lq["scale"] / a_next  # (O,) fp32, folded at trace time
+    if in_ratio is not None:
+        s = s * in_ratio
     b = lq["bias"] / a_next
     y = y_i32.astype(jnp.float32) * s + b
     if relu:
@@ -275,7 +282,8 @@ def _upconv_int8(xi, ent, a_next, impl: str = "convt", skip=None):
 
 
 def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
-                          upconv_impl: str = "convt"):
+                          upconv_impl: str = "convt",
+                          skip_emit: str = "dual"):
     """int8 UNet forward with int8-RESIDENT activations.
 
     Same quantization tables as :func:`unet_int8_apply` (build with
@@ -300,6 +308,13 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
     Accuracy: same scheme as the plain path — the requantize rounds the
     fp32 epilogue value instead of a bf16-rounded copy, so the fused path
     is, if anything, slightly closer to float (tested).
+
+    ``skip_emit``: 'dual' (default) emits every encoder output twice (one
+    int8 tensor per consumer scale); 'shared' emits ONCE at
+    max(dec_scale, next_enc_scale) and folds the exact actual/calibrated
+    ratio into each consumer's dequant — halving the encoder's activation
+    writes at a bounded coding-granularity cost (measure with
+    benchmarks/int8_accuracy.py).  Requires the full r3 tables.
     """
     a = {
         f"{blk}/{cn}": qparams[blk][cn]["a_scale"]
@@ -311,49 +326,81 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
                                         "upconv1", "final")
     )
 
-    skips = []  # int8, pre-quantized at the matching dec Conv_0 scale
+    shared = skip_emit == "shared"
+    if shared and not full:
+        raise ValueError(
+            "skip_emit='shared' needs the full int8 tables (r3 calibration "
+            "with upconv/final entries)"
+        )
+
+    skips = []        # int8 skip tensors
+    skip_scales = []  # the scale each skip's codes were actually emitted at
     xi = _quant_input(x, a["enc1/Conv_0"])
+    in_ratio = None   # actual/calibrated scale ratio of xi's codes
     for i, name in enumerate(_BLOCKS_DOWN):
         q = qparams[name]
         y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
-        xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
+        xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"],
+                               in_ratio=in_ratio)
         y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
         nxt = _BLOCKS_DOWN[i + 1] if i + 1 < len(_BLOCKS_DOWN) else "bottleneck"
-        skips.append(
-            _requant_epilogue(y1, q["Conv_1"], a[f"dec{i + 1}/Conv_0"])
-        )
-        xi = _requant_epilogue(y1, q["Conv_1"], a[f"{nxt}/Conv_0"])
-        xi = nn.max_pool(xi, (2, 2), strides=(2, 2))
+        a_dec = a[f"dec{i + 1}/Conv_0"]
+        a_nxt = a[f"{nxt}/Conv_0"]
+        if shared:
+            # ONE emission at a shared scale instead of two tensors at the
+            # two consumers' scales — halves the encoder's activation
+            # writes; the max() guarantees neither consumer's calibrated
+            # range clips, and each consumer's epilogue folds the exact
+            # actual/calibrated ratio (max precision loss = the ratio)
+            s_sh = jnp.maximum(a_dec, a_nxt)
+            t = _requant_epilogue(y1, q["Conv_1"], s_sh)
+            skips.append(t)
+            skip_scales.append(s_sh)
+            xi = nn.max_pool(t, (2, 2), strides=(2, 2))
+            in_ratio = s_sh / a_nxt
+        else:
+            skips.append(_requant_epilogue(y1, q["Conv_1"], a_dec))
+            skip_scales.append(a_dec)
+            xi = _requant_epilogue(y1, q["Conv_1"], a_nxt)
+            xi = nn.max_pool(xi, (2, 2), strides=(2, 2))
+            in_ratio = None
 
     q = qparams["bottleneck"]
     y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
-    xi = _requant_epilogue(y0, q["Conv_0"], a["bottleneck/Conv_1"])
+    xi = _requant_epilogue(y0, q["Conv_0"], a["bottleneck/Conv_1"],
+                           in_ratio=in_ratio)
     y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
 
     if full:
         # decoder entirely int8: bottleneck emits at upconv4's input scale
         xi = _requant_epilogue(y1, q["Conv_1"], qparams["upconv4"]["a_scale"])
-        for name, skip in zip(_BLOCKS_UP, reversed(skips)):
+        for name, skip, s_sh in zip(_BLOCKS_UP, reversed(skips),
+                                    reversed(skip_scales)):
             q = qparams[name]
+            # the upconv emits at the skip's ACTUAL scale so the concat is
+            # uniformly scaled for Conv_0 (in dual mode s_sh is exactly
+            # the calibrated a[name/Conv_0])
             if upconv_impl == "pallas":
                 # concat fused into the kernel's output write
                 xi = _upconv_int8(
                     xi, qparams[f"upconv{name[-1]}"],
-                    a[f"{name}/Conv_0"], impl=upconv_impl, skip=skip,
+                    s_sh, impl=upconv_impl, skip=skip,
                 )
             else:
                 xi = jnp.concatenate(
                     [
                         _upconv_int8(
                             xi, qparams[f"upconv{name[-1]}"],
-                            a[f"{name}/Conv_0"], impl=upconv_impl,
+                            s_sh, impl=upconv_impl,
                         ),
                         skip,
                     ],
                     axis=-1,
                 )
+            ratio0 = (s_sh / a[f"{name}/Conv_0"]) if shared else None
             y0 = _conv3x3(xi, q["Conv_0"]["w_int8"], preferred=jnp.int32)
-            xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"])
+            xi = _requant_epilogue(y0, q["Conv_0"], a[f"{name}/Conv_1"],
+                                   in_ratio=ratio0)
             y1 = _conv3x3(xi, q["Conv_1"]["w_int8"], preferred=jnp.int32)
             if name == "dec1":
                 xi = _requant_epilogue(

@@ -213,3 +213,38 @@ def test_fused_pallas_upconvs_match_convt(folded, batch):
         np.linalg.norm(y_convt) + 1e-12
     )
     assert rel < 0.02, rel
+
+
+def test_fused_shared_skip_emit(folded, batch):
+    """skip_emit='shared' (one int8 emission per encoder output, exact
+    ratio-folded dequant at both consumers) must stay close to float and
+    to the dual-emission path."""
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q = quantize_unet(folded, calib)
+    y_fp = np.asarray(
+        UNet(features=F, use_bn=False).apply(folded, batch, train=False)
+    )
+    run = lambda se: np.asarray(  # noqa: E731
+        jax.jit(
+            lambda p, x: unet_int8_fused_apply(
+                p, x, dtype=jnp.float32, skip_emit=se
+            )
+        )(q, batch)
+    )
+    y_dual, y_shared = run("dual"), run("shared")
+    rel_dual = np.linalg.norm(y_dual - y_fp) / (np.linalg.norm(y_fp) + 1e-12)
+    rel_shared = np.linalg.norm(y_shared - y_fp) / (
+        np.linalg.norm(y_fp) + 1e-12
+    )
+    assert np.isfinite(y_shared).all()
+    # coarser skip codes may cost a little accuracy, but the same order
+    assert rel_shared < rel_dual * 2.0 + 0.02, (rel_shared, rel_dual)
+
+    # legacy tables cannot express shared emission
+    legacy = quantize_unet(
+        folded,
+        {k: v for k, v in calib.items()
+         if not (k.startswith("upconv") or k == "final")},
+    )
+    with pytest.raises(ValueError, match="shared"):
+        unet_int8_fused_apply(legacy, batch, skip_emit="shared")
