@@ -88,6 +88,13 @@ def main():
         "int8_fused_absmax": jax.jit(
             lambda x: unet_int8_fused_apply(q_absmax, x)
         ),
+        # single-emission shared-scale skips (serve/quant.py skip_emit):
+        # coarser skip codes, measured here; the pallas upconv impl is
+        # numerically equivalent to convt (tests/test_upconv_pallas.py)
+        # so it needs no separate accuracy row
+        "int8_fused_shared": jax.jit(
+            lambda x: unet_int8_fused_apply(q_absmax, x, skip_emit="shared")
+        ),
     }
     results = {}
     for label, fn in variants.items():
@@ -95,7 +102,8 @@ def main():
             fn, store, data_cfg, max_batches=args.max_batches
         )
     deltas = {}
-    for label in ("int8_absmax", "int8_p99.9", "int8_fused_absmax"):
+    for label in ("int8_absmax", "int8_p99.9", "int8_fused_absmax",
+                  "int8_fused_shared"):
         deltas[label] = {}
         for sp in ("3mm", "6mm"):
             if sp in results["bf16"] and sp in results[label]:

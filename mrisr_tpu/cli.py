@@ -234,7 +234,7 @@ def cmd_train(args):
 
         trainer = GANTrainer(
             cfg, perceptual_fn=make_perceptual_fn(cfg.loss.perceptual),
-            image_size=hw, mesh=mesh,
+            image_size=hw, mesh=mesh, steps_per_epoch=len(train_loader),
         )
     elif cfg.loss.kind == "diffusion":
         from mrisr_tpu.train import DiffusionTrainer
@@ -271,12 +271,14 @@ def cmd_distill(args):
     from mrisr_tpu.serve.distill import DistillationTrainer
 
     cfg = _build_config(args, args.preset)
+    loss_over = {}
     if args.distill_alpha is not None:
-        import dataclasses
-
+        loss_over["distill_alpha"] = args.distill_alpha
+    if args.distill_lambda_ssim is not None:
+        loss_over["distill_lambda_ssim"] = args.distill_lambda_ssim
+    if loss_over:
         cfg = dataclasses.replace(
-            cfg, loss=dataclasses.replace(
-                cfg.loss, distill_alpha=args.distill_alpha))
+            cfg, loss=dataclasses.replace(cfg.loss, **loss_over))
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     mesh = _training_mesh(cfg)
@@ -674,6 +676,10 @@ def main(argv=None):
                    help="weight of the teacher-matching MSE term "
                         "(1-alpha weighs ground truth; 1.0 = pure "
                         "teacher mimicry, the serving-replica setting)")
+    q.add_argument("--distill-lambda-ssim", type=float, default=None,
+                   help="weight of an added (1 - SSIM(student, teacher)) "
+                        "term — optimizes the eval metric directly "
+                        "(default 0 = MSE-only, the r2 objective)")
     q.add_argument("--config", default=None)
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)

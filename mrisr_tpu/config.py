@@ -96,8 +96,11 @@ class LossConfig:
     w_i2: float = 1.0
     w_i3: float = 0.5
     # serving distillation (serve/distill.py): weight of the
-    # teacher-matching MSE vs the ground-truth MSE
+    # teacher-matching MSE vs the ground-truth MSE, plus an optional
+    # (1 - SSIM(student, teacher)) term that optimizes the eval metric
+    # directly (0.0 = off, the r2 behavior)
     distill_alpha: float = 0.5
+    distill_lambda_ssim: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,7 @@ from mrisr_tpu.train.trainer import SupervisedTrainer
 def make_distill_steps(
     teacher_fn: Callable[[jax.Array], jax.Array],
     alpha: float = 0.5,
+    lambda_ssim: float = 0.0,
     donate: bool = True,
     jit_steps: bool = True,
 ):
@@ -46,7 +47,13 @@ def make_distill_steps(
     (its params ride along as jit constants, device-resident).  Metrics
     report the two components separately so the history JSON shows how much
     of the loss is teacher-matching vs ground truth.
+
+    ``lambda_ssim`` adds a (1 - SSIM(student, teacher)) term — the eval
+    contract is SSIM (`/root/reference/README.md:121-130`), and MSE-only
+    mimicry spends the student's limited capacity on L2 rather than on the
+    structure SSIM measures; same differentiable SSIM as combined_loss (T2).
     """
+    from mrisr_tpu.losses import ssim_loss
 
     def train_step(state, batch: jax.Array):
         inputs, target = batch[..., :2], batch[..., 2:3]
@@ -57,7 +64,12 @@ def make_distill_steps(
             l_teacher = mse(pred, t_pred)
             l_gt = mse(pred, target)
             loss = alpha * l_teacher + (1.0 - alpha) * l_gt
-            return loss, ({"teacher_mse": l_teacher, "gt_mse": l_gt}, new_stats)
+            comps = {"teacher_mse": l_teacher, "gt_mse": l_gt}
+            if lambda_ssim:
+                l_ssim = ssim_loss(pred[..., 0], t_pred[..., 0])
+                loss = loss + lambda_ssim * l_ssim
+                comps["ssim_loss"] = l_ssim
+            return loss, (comps, new_stats)
 
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True
@@ -74,7 +86,12 @@ def make_distill_steps(
         l_teacher = mse(pred, t_pred)
         l_gt = mse(pred, target)
         loss = alpha * l_teacher + (1.0 - alpha) * l_gt
-        return {"loss": loss, "teacher_mse": l_teacher, "gt_mse": l_gt}
+        out = {"loss": loss, "teacher_mse": l_teacher, "gt_mse": l_gt}
+        if lambda_ssim:
+            l_ssim = ssim_loss(pred[..., 0], t_pred[..., 0])
+            out["loss"] = loss + lambda_ssim * l_ssim
+            out["ssim_loss"] = l_ssim
+        return out
 
     if not jit_steps:
         return train_step, eval_step
@@ -145,9 +162,11 @@ class DistillationTrainer(SupervisedTrainer):
                 image_size=image_size, cfg=teacher_cfg,
             )
         alpha = config.loss.distill_alpha
+        lam_ssim = config.loss.distill_lambda_ssim
         self.train_step, self.eval_step = make_distill_steps(
-            teacher_fn, alpha=alpha, donate=config.train.donate_batch
+            teacher_fn, alpha=alpha, lambda_ssim=lam_ssim,
+            donate=config.train.donate_batch,
         )
         self._raw_train_step, _ = make_distill_steps(
-            teacher_fn, alpha=alpha, jit_steps=False
+            teacher_fn, alpha=alpha, lambda_ssim=lam_ssim, jit_steps=False
         )

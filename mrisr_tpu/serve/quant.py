@@ -281,9 +281,18 @@ def _upconv_int8(xi, ent, a_next, impl: str = "convt", skip=None):
     return y.reshape(n, h * 2, wd * 2, co)
 
 
+# Serving-wide default lowering variants for the fused path, resolved at
+# trace time: every caller that doesn't pass upconv_impl/skip_emit
+# (bench.py default, serve/engine.py, serve/bundle.py) picks these up.
+# Measured selection lives in benchmarks/int8_variants.py results
+# (docs/SERVING.md table).
+def _default_variants() -> Tuple[str, str]:
+    return ("convt", "dual")
+
+
 def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
-                          upconv_impl: str = "convt",
-                          skip_emit: str = "dual"):
+                          upconv_impl: str | None = None,
+                          skip_emit: str | None = None):
     """int8 UNet forward with int8-RESIDENT activations.
 
     Same quantization tables as :func:`unet_int8_apply` (build with
@@ -315,7 +324,14 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
     ratio into each consumer's dequant — halving the encoder's activation
     writes at a bounded coding-granularity cost (measure with
     benchmarks/int8_accuracy.py).  Requires the full r3 tables.
+
+    Both default to :func:`_default_variants` (the measured best for the
+    current backend) when None.
     """
+    if upconv_impl is None or skip_emit is None:
+        d_impl, d_emit = _default_variants()
+        upconv_impl = upconv_impl or d_impl
+        skip_emit = skip_emit or d_emit
     a = {
         f"{blk}/{cn}": qparams[blk][cn]["a_scale"]
         for blk in (*_BLOCKS_DOWN, "bottleneck", *_BLOCKS_UP)

@@ -29,6 +29,7 @@ class GANTrainer(_EpochLoopMixin):
         perceptual_fn: Optional[Callable] = None,
         image_size=(256, 256),
         mesh=None,
+        steps_per_epoch=None,
     ):
         self.config = config
         self.mesh = mesh
@@ -48,11 +49,13 @@ class GANTrainer(_EpochLoopMixin):
         )
         self.gen, self.disc = gen, disc
         self.g_state = create_train_state(
-            gen, g_vars, make_optimizer(config.train)
+            gen, g_vars,
+            make_optimizer(config.train, steps_per_epoch=steps_per_epoch),
         )
         self.d_state = create_train_state(
             disc, d_vars,
-            make_optimizer(config.train, learning_rate=config.train.learning_rate_d),
+            make_optimizer(config.train, learning_rate=config.train.learning_rate_d,
+                           steps_per_epoch=steps_per_epoch),
         )
         if mesh is not None:
             from mrisr_tpu.parallel.mesh import replicated
