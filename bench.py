@@ -73,8 +73,8 @@ def bench_unet_inference(
     repeats: int = 2,
     quant: str = "none",
     features: int = 64,
-    upconv_impl: str = "convt",
-    skip_emit: str = "dual",
+    upconv_impl: str | None = None,
+    skip_emit: str | None = None,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -159,10 +159,13 @@ def bench_unet_inference(
         result["quant"] = quant
     if features != 64:
         result["features"] = features
-    if upconv_impl != "convt":
-        result["upconv_impl"] = upconv_impl
-    if skip_emit != "dual":
-        result["skip_emit"] = skip_emit
+    if quant == "int8_fused":
+        # record the RESOLVED variants so every JSON line is reproducible
+        from mrisr_tpu.serve.quant import _default_variants
+
+        d_impl, d_emit = _default_variants()
+        result["upconv_impl"] = upconv_impl or d_impl
+        result["skip_emit"] = skip_emit or d_emit
     if gflops_per_slice is not None:
         # int8 programs report conv flops on the same 2xMAC convention, so
         # MFU stays against the bf16 peak: >1.0 means the int8 path passed
@@ -186,9 +189,12 @@ def main():
         choices=("none", "int8", "int8_fused"),
     )
     p.add_argument("--features", type=int, default=64)
-    p.add_argument("--upconv-impl", default="convt",
-                   choices=("convt", "einsum", "pallas"))
-    p.add_argument("--skip-emit", default="dual", choices=("dual", "shared"))
+    p.add_argument("--upconv-impl", default=None,
+                   choices=("convt", "einsum", "pallas"),
+                   help="default: the measured best (serve/quant.py "
+                        "_default_variants)")
+    p.add_argument("--skip-emit", default=None, choices=("dual", "shared"),
+                   help="default: the measured best")
     args = p.parse_args()
     result = bench_unet_inference(
         batch_size=args.batch_size, scan_len=args.scan_len,

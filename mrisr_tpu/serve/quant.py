@@ -284,10 +284,12 @@ def _upconv_int8(xi, ent, a_next, impl: str = "convt", skip=None):
 # Serving-wide default lowering variants for the fused path, resolved at
 # trace time: every caller that doesn't pass upconv_impl/skip_emit
 # (bench.py default, serve/engine.py, serve/bundle.py) picks these up.
-# Measured selection lives in benchmarks/int8_variants.py results
-# (docs/SERVING.md table).
+# Measured on v5e batch 128 (benchmarks/int8_variants.py, docs/SERVING.md):
+# skip_emit 'shared' 2,831 slices/s vs 'dual' 2,690 (+5.3%), SSIM delta
+# +0.0004 vs dual on the demo checkpoint (benchmarks/int8_accuracy.py) —
+# so 'shared' is the default; upconv 'pallas' is opt-in (ops/upconv_pallas.py).
 def _default_variants() -> Tuple[str, str]:
-    return ("convt", "dual")
+    return ("convt", "shared")
 
 
 def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
@@ -328,20 +330,22 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
     Both default to :func:`_default_variants` (the measured best for the
     current backend) when None.
     """
+    full = all(
+        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
+                                        "upconv1", "final")
+    )
     if upconv_impl is None or skip_emit is None:
         d_impl, d_emit = _default_variants()
         upconv_impl = upconv_impl or d_impl
-        skip_emit = skip_emit or d_emit
+        # a DEFAULT 'shared' silently degrades to 'dual' on legacy (pre-r3)
+        # tables, which cannot express the shared emission; an EXPLICIT
+        # skip_emit='shared' on such tables still raises below
+        skip_emit = skip_emit or (d_emit if full else "dual")
     a = {
         f"{blk}/{cn}": qparams[blk][cn]["a_scale"]
         for blk in (*_BLOCKS_DOWN, "bottleneck", *_BLOCKS_UP)
         for cn in ("Conv_0", "Conv_1")
     }
-    full = all(
-        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
-                                        "upconv1", "final")
-    )
-
     shared = skip_emit == "shared"
     if shared and not full:
         raise ValueError(
