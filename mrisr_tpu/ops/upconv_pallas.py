@@ -25,7 +25,19 @@ the kernel is a pure matmul + epilogue.  Accuracy is bit-identical to the
 reference lowering up to fp32 epilogue rounding order (tested against
 ``lax.conv_transpose`` in tests/test_upconv_pallas.py).
 
-Usable compiled (TPU) and interpreted (CPU tests), like ops/ssim_pallas.py.
+STATUS (measured r3, v5e + jax-of-record): Mosaic REJECTS this kernel at
+compile time — the phase un-interleave is a
+``vector<(H*W)x(4Co)xi8> -> vector<HxWx2x2xCoxi8>`` shape cast and
+``infer-vector-layout`` reports "unsupported shape cast" (the interleave
+is a sublane/lane relayout its reshape rules cannot express).  It stays an
+opt-in (``upconv_impl='pallas'``) that is correct under interpret mode and
+parity-tested against ``lax.conv_transpose`` (tests/test_upconv_pallas.py)
+so it can be re-tried on newer Mosaic; the measured serving default is the
+shared-emission conv_transpose path (docs/SERVING.md "Where the rest of
+the int8 peak goes").
+
+Usable interpreted (CPU tests) everywhere; compiled TPU use blocked as
+above.
 """
 
 from __future__ import annotations
