@@ -20,8 +20,9 @@ import os
 import sys
 
 
-def _add_common_train_args(p):
-    p.add_argument("--data", required=True, help="packed VolumeStore dir")
+def _add_common_train_args(p, data_required=True):
+    p.add_argument("--data", required=data_required,
+                   help="packed VolumeStore dir")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     # None = "not passed": the preset (or --config file) value is kept;
@@ -480,15 +481,53 @@ def cmd_predict_volume(args):
         print(f"figure -> {path}")
 
 
+def _compare_row_from_metrics(name, m):
+    """Map one model's test-metrics dict to a (name, ssim3, psnr3, ssim6,
+    psnr6) table row.  Pair/diffusion models carry '3mm'/'6mm' keys;
+    progressive metrics carry per-stage 'i1'/'i2'/'i3' — i1/i3 predict
+    across 3 mm gaps and i2 across 6 mm, same mapping the reference README
+    table uses for its Progressive row (`/root/reference/README.md:129`)."""
+    if "i1" in m and "i2" in m:
+        return (name,
+                (m["i1"]["ssim_mean"] + m["i3"]["ssim_mean"]) / 2,
+                (m["i1"]["psnr_mean"] + m["i3"]["psnr_mean"]) / 2,
+                m["i2"]["ssim_mean"], m["i2"]["psnr_mean"])
+    return (name,
+            m.get("3mm", {}).get("ssim_mean"), m.get("3mm", {}).get("psnr_mean"),
+            m.get("6mm", {}).get("ssim_mean"), m.get("6mm", {}).get("psnr_mean"))
+
+
 def cmd_compare(args):
     """Evaluate several models and emit the README-style results table
     (SSIM/PSNR per spacing, never aggregated) as markdown + CSV — the
     metrics-table artifact of the reference (`v3:cell27` CSV,
-    README.md:121-130 table)."""
-    import csv
+    README.md:121-130 table).
+
+    ``--from-results`` skips live evaluation and assembles the table from
+    the per-model ``<results_dir>/<model>_test_metrics.json`` artifacts that
+    ``cli eval`` writes — this is how rows whose evaluation is expensive
+    (fastddpm's T=10 sampling) or whose checkpoints live elsewhere join one
+    table, and it mirrors how the reference compiled its README table from
+    per-run history JSONs."""
+    from mrisr_tpu.config import PRESETS
+
+    if args.from_results:
+        rows = []
+        results_dir = args.results_dir or "results"
+        for name in args.model:
+            path = os.path.join(results_dir, f"{name}_test_metrics.json")
+            if not os.path.exists(path):
+                print(f"skipping {name}: no {path}")
+                continue
+            with open(path) as f:
+                rows.append(_compare_row_from_metrics(name, json.load(f)))
+        _emit_compare_table(args, rows)
+        return
+
+    if not args.data:
+        raise SystemExit("compare: --data is required unless --from-results")
 
     from mrisr_tpu.api import load_model
-    from mrisr_tpu.config import PRESETS
     from mrisr_tpu.data.volumes import VolumeStore
     from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
 
@@ -500,10 +539,6 @@ def cmd_compare(args):
                            cfg=cfg.model, image_size=cfg.data.image_size,
                            checkpoint=None if args.allow_fresh else "required")
         if model.kind == "window":
-            # Progressive row (the reference README table has one,
-            # README.md:129): the i+1/i+3 stages predict across a 3 mm gap,
-            # the i+2 stage across 6 mm — map per-stage averages to the
-            # per-spacing columns accordingly.
             from mrisr_tpu.eval.runner import evaluate_progressive_test_set
 
             m = evaluate_progressive_test_set(
@@ -511,23 +546,18 @@ def cmd_compare(args):
                 mode=args.metric_mode, max_batches=args.max_batches,
                 backend=args.backend,
             )
-            rows.append(
-                (name,
-                 (m["i1"]["ssim_mean"] + m["i3"]["ssim_mean"]) / 2,
-                 (m["i1"]["psnr_mean"] + m["i3"]["psnr_mean"]) / 2,
-                 m["i2"]["ssim_mean"], m["i2"]["psnr_mean"])
+        else:
+            m = evaluate_pair_model_test_set(
+                model.predict_nhwc, store, cfg.data,
+                mode=args.metric_mode, max_batches=args.max_batches,
+                backend=args.backend,
             )
-            continue
-        m = evaluate_pair_model_test_set(
-            model.predict_nhwc, store, cfg.data,
-            mode=args.metric_mode, max_batches=args.max_batches,
-            backend=args.backend,
-        )
-        rows.append(
-            (name,
-             m.get("3mm", {}).get("ssim_mean"), m.get("3mm", {}).get("psnr_mean"),
-             m.get("6mm", {}).get("ssim_mean"), m.get("6mm", {}).get("psnr_mean"))
-        )
+        rows.append(_compare_row_from_metrics(name, m))
+    _emit_compare_table(args, rows)
+
+
+def _emit_compare_table(args, rows):
+    import csv
 
     header = ("Model", "SSIM (3mm)", "PSNR (3mm)", "SSIM (6mm)", "PSNR (6mm)")
     print("| " + " | ".join(header) + " |")
@@ -539,8 +569,9 @@ def cmd_compare(args):
         ]
         print("| " + " | ".join(cells) + " |")
 
-    os.makedirs(args.results_dir, exist_ok=True)
-    csv_path = os.path.join(args.results_dir, "comparison_metrics.csv")
+    results_dir = args.results_dir or "results"
+    os.makedirs(results_dir, exist_ok=True)
+    csv_path = os.path.join(results_dir, "comparison_metrics.csv")
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(header)
@@ -734,7 +765,11 @@ def main(argv=None):
     q.add_argument("--metric-mode", default="minmax-each",
                    choices=("minmax-each", "denorm-11", "raw"))
     q.add_argument("--max-batches", type=int, default=None)
-    _add_common_train_args(q)
+    q.add_argument("--from-results", action="store_true",
+                   help="assemble the table from existing "
+                        "<results_dir>/<model>_test_metrics.json artifacts "
+                        "instead of evaluating live (no --data needed)")
+    _add_common_train_args(q, data_required=False)
     q.set_defaults(fn=cmd_compare)
 
     q = sub.add_parser("triplet-figure")

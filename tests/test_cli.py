@@ -133,6 +133,34 @@ def test_cli_compare_table(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "res" / "comparison_metrics.csv"))
 
 
+def test_cli_compare_from_results(tmp_path, capsys):
+    """--from-results assembles the table from saved *_test_metrics.json
+    artifacts — pair-shaped ('3mm'/'6mm') and progressive-shaped
+    ('i1'/'i2'/'i3') rows both map to the per-spacing columns, and missing
+    artifacts are skipped rather than fatal."""
+    from mrisr_tpu import cli
+
+    res = tmp_path / "res"
+    res.mkdir()
+    pair = {"3mm": {"ssim_mean": 0.9, "psnr_mean": 30.0},
+            "6mm": {"ssim_mean": 0.8, "psnr_mean": 25.0}}
+    prog = {"i1": {"ssim_mean": 0.7, "psnr_mean": 26.0},
+            "i2": {"ssim_mean": 0.6, "psnr_mean": 22.0},
+            "i3": {"ssim_mean": 0.5, "psnr_mean": 24.0},
+            "average": {}}
+    (res / "unet_test_metrics.json").write_text(json.dumps(pair))
+    (res / "progressive_unet_test_metrics.json").write_text(json.dumps(prog))
+
+    cli.main(["compare", "--model", "unet", "progressive_unet", "ghost",
+              "--from-results", "--results-dir", str(res)])
+    out = capsys.readouterr().out
+    assert "| unet | 0.9000 | 30.00 | 0.8000 | 25.00 |" in out
+    # progressive: 3mm = mean(i1, i3), 6mm = i2
+    assert "| progressive_unet | 0.6000 | 25.00 | 0.6000 | 22.00 |" in out
+    assert "skipping ghost" in out
+    assert os.path.exists(str(res / "comparison_metrics.csv"))
+
+
 def test_cli_eval_fastddpm_sampling(tmp_path, capsys):
     """Diffusion eval through the CLI: sampling-based metrics per spacing."""
     from mrisr_tpu import cli
