@@ -26,12 +26,13 @@ Default serving configuration is the int8 MXU path with int8-resident
 activations (``--quant int8_fused``, serve/quant.py) — the fastest
 exact-topology configuration, measured within +0.005 SSIM of bf16 on the
 demo checkpoint (results_demo/int8_accuracy.json).  Measured v5e ladder
-at batch 128: bf16 1,627 (77.8% MFU) -> int8 2,246 -> int8_fused 2,644
-(1.27x the bf16 dense peak).  ``--quant none`` reproduces the bf16
-number.  The width-32 distilled student (serve/distill.py,
-``--features 32``) measures 7,599 slices/s with int8_fused at batch 384
-— past the 5k target — at a measured accuracy cost vs its teacher
-(BASELINE.md); it is NOT the default because it changes the weights.
+at batch 128: bf16 1,627 (77.8% MFU) -> int8 2,246 -> int8_fused with the
+r3 full-int8 decoder + shared-scale skips 2,829 (1.35x the bf16 dense
+peak).  ``--quant none`` reproduces the bf16 number.  The width-32
+distilled student (serve/distill.py, ``--features 32``) measures 8,384
+slices/s with int8_fused at batch 384 — 1.68x the 5k target — at a
+measured -0.007 SSIM vs its teacher (BASELINE.md, results_demo/README.md);
+it is NOT the default because it changes the weights.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "gflops_per_slice",
