@@ -85,8 +85,11 @@ def main():
         "bf16": bf16_fwd,
         "int8_absmax": jax.jit(lambda x: unet_int8_apply(q_absmax, x)),
         "int8_p99.9": jax.jit(lambda x: unet_int8_apply(q_p999, x)),
+        # skip_emit is pinned to 'dual' here: the serving default resolved
+        # to 'shared' in r3, and without the pin this row would silently
+        # duplicate int8_fused_shared instead of measuring the dual baseline
         "int8_fused_absmax": jax.jit(
-            lambda x: unet_int8_fused_apply(q_absmax, x)
+            lambda x: unet_int8_fused_apply(q_absmax, x, skip_emit="dual")
         ),
         # single-emission shared-scale skips (serve/quant.py skip_emit):
         # coarser skip codes, measured here; the pallas upconv impl is

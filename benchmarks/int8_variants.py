@@ -42,8 +42,7 @@ def main():
                     features=args.features,
                     upconv_impl=upconv_impl, skip_emit=skip_emit,
                 )
-                r["upconv_impl"] = upconv_impl
-                r["skip_emit"] = skip_emit
+                # bench_unet_inference records the RESOLVED variants itself
             except Exception as e:  # noqa: BLE001 — report the cell, keep sweeping
                 r = {
                     "upconv_impl": upconv_impl, "skip_emit": skip_emit,

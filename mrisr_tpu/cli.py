@@ -127,9 +127,17 @@ def _training_mesh(cfg):
 
     from mrisr_tpu.parallel.mesh import MeshSpec, make_mesh
 
-    if jax.device_count() == 1:
-        return None
     explicit = cfg.mesh.data > 0 or cfg.mesh.model > 1
+    if jax.device_count() == 1:
+        if explicit and max(cfg.mesh.data, 1) * max(cfg.mesh.model, 1) > 1:
+            # honor an explicit mesh request strictly: silently training
+            # single-chip under the user's nose is worse than erroring
+            raise SystemExit(
+                f"--mesh-data/--mesh-model requests "
+                f"{max(cfg.mesh.data, 1)}x{max(cfg.mesh.model, 1)} devices "
+                f"but only 1 is visible"
+            )
+        return None
     if explicit:
         mesh = make_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model))
         n_data = mesh.shape["data"]
@@ -240,7 +248,8 @@ def cmd_train(args):
     elif cfg.loss.kind == "diffusion":
         from mrisr_tpu.train import DiffusionTrainer
 
-        trainer = DiffusionTrainer(cfg, image_size=hw, mesh=mesh)
+        trainer = DiffusionTrainer(cfg, image_size=hw, mesh=mesh,
+                                   steps_per_epoch=len(train_loader))
     else:
         perceptual_fn = None
         if cfg.loss.kind == "combined":

@@ -18,7 +18,7 @@ Scheme (standard symmetric post-training quantization):
   input is 127*127*9*1024 ≈ 1.5e8, well inside int32);
 - dequantize with the fused ``a_scale * w_scale`` per-channel factor, add
   bias, ReLU — all elementwise, fused by XLA into the conv epilogue;
-- the 4 ConvTranspose upconvs and the final 3x3 conv are ALSO quantized
+- the 4 ConvTranspose upconvs and the final 1x1 conv are ALSO quantized
   (since r3): with kernel == stride the transposed conv is a dense matmul
   and quantizes like any conv, and emitting the decoder tensors as int8
   removes the last bf16 activations from HBM.  Old calibration dicts
@@ -310,7 +310,7 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
       matching decoder Conv_0 scale for the skip connection.  Two int8
       tensors cost the same HBM bytes as the one bf16 tensor they replace;
     - when the upconv/final int8 tables exist (r3 calibrations), the
-      ConvTranspose upconvs and the final 3x3 conv ALSO run int8 on the
+      ConvTranspose upconvs and the final 1x1 conv ALSO run int8 on the
       MXU, and the decoder's inter-layer tensors stay int8 end to end —
       only the network input and output are float.  With tables from an
       old (pre-r3) calibration those layers fall back to bf16 exactly as
@@ -320,8 +320,9 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
     fp32 epilogue value instead of a bf16-rounded copy, so the fused path
     is, if anything, slightly closer to float (tested).
 
-    ``skip_emit``: 'dual' (default) emits every encoder output twice (one
-    int8 tensor per consumer scale); 'shared' emits ONCE at
+    ``skip_emit``: 'dual' emits every encoder output twice (one int8
+    tensor per consumer scale); 'shared' (the measured default, see
+    :func:`_default_variants`) emits ONCE at
     max(dec_scale, next_enc_scale) and folds the exact actual/calibrated
     ratio into each consumer's dequant — halving the encoder's activation
     writes at a bounded coding-granularity cost (measure with
