@@ -121,3 +121,46 @@ def test_distill_alpha_weights_components():
         np.testing.assert_allclose(
             float(m["loss"]), float(expect), rtol=1e-6
         )
+
+
+def test_distill_lambda_ssim_term():
+    """lambda_ssim adds a (1 - SSIM(student, teacher)) component: the eval
+    loss must equal alpha*teacher_mse + (1-alpha)*gt_mse + lam*ssim_loss,
+    and the train step must still produce finite params."""
+    from flax import linen as nn
+
+    from mrisr_tpu.models import UNet
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+
+    teacher = UNet(features=4)
+    hw = (32, 32)
+    tvars = teacher.init(jax.random.PRNGKey(1), jnp.zeros((1, *hw, 2)),
+                         train=False)
+
+    def teacher_fn(x):
+        return teacher.apply(tvars, x, train=False)
+
+    student = UNet(features=4)
+    svars = student.init(jax.random.PRNGKey(2), jnp.zeros((1, *hw, 2)),
+                         train=False)
+    tx = make_optimizer(PRESETS["unet_distilled"].train)
+    state = create_train_state(student, svars, tx)
+
+    alpha, lam = 0.7, 0.5
+    train_step, eval_step = make_distill_steps(
+        teacher_fn, alpha=alpha, lambda_ssim=lam, donate=False
+    )
+    batch = jnp.asarray(
+        np.random.default_rng(3).standard_normal((4, *hw, 3)), jnp.float32
+    )
+    m = eval_step(state, batch)
+    assert set(m) >= {"loss", "teacher_mse", "gt_mse", "ssim_loss"}
+    expect = (alpha * float(m["teacher_mse"])
+              + (1 - alpha) * float(m["gt_mse"])
+              + lam * float(m["ssim_loss"]))
+    assert float(m["loss"]) == pytest.approx(expect, rel=1e-5)
+
+    state2, tm = train_step(state, batch)
+    assert np.isfinite(float(tm["loss"])) and "ssim_loss" in tm
+    for leaf in jax.tree_util.tree_leaves(state2.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))

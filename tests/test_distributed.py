@@ -356,3 +356,46 @@ def test_shard_map_collective_wrappers():
     # every shard gathered the full batch -> output is (8*16, 1) tiled
     assert g.shape == (16 * 8, 1)
     np.testing.assert_allclose(np.asarray(g[:16]), np.asarray(x))
+
+
+def test_dp_diffusion_step_matches_single_device():
+    """The diffusion train step (antithetic t sampling + noise injection,
+    train/steps.py:make_diffusion_steps) under DP sharding: with the key
+    replicated, the global t/noise draws trace identically, so the sharded
+    step's loss must match the single-device step on the same batch —
+    extends the supervised DP==1-device guarantee to the stochastic family
+    (SURVEY.md §2.5 DP row)."""
+    from mrisr_tpu.models.diffusion import DiffusionSchedule, FastDDPMUNet
+    from mrisr_tpu.train.steps import make_diffusion_steps
+
+    model = FastDDPMUNet(base_features=4, time_dim=8)
+    x0 = jnp.zeros((8, HW, HW, 3))
+    t0 = jnp.zeros((8,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x0, t0)
+    tx = make_optimizer(PRESETS["fastddpm"].train)
+    schedule = DiffusionSchedule.create(num_timesteps=100,
+                                        num_inference_steps=10)
+    train_step, eval_step = make_diffusion_steps(schedule, donate=False)
+
+    batch_np = np.random.default_rng(1).standard_normal(
+        (16, HW, HW, 3)
+    ).astype(np.float32)
+    key = jax.random.PRNGKey(7)
+
+    state_a = create_train_state(model, variables, tx)
+    state_a, m_a = train_step(state_a, jnp.asarray(batch_np), key)
+    e_a = eval_step(state_a, jnp.asarray(batch_np), key)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    state_b = jax.device_put(
+        create_train_state(model, variables, tx), replicated(mesh)
+    )
+    batch = jax.device_put(jnp.asarray(batch_np), batch_sharding(mesh))
+    with mesh:
+        state_b, m_b = train_step(state_b, batch, key)
+        e_b = eval_step(state_b, batch, key)
+
+    assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]), rel=1e-5)
+    assert float(e_a["loss"]) == pytest.approx(float(e_b["loss"]), rel=1e-5)
+    leaf = jax.tree_util.tree_leaves(state_b.params)[0]
+    assert leaf.sharding.is_fully_replicated
