@@ -161,12 +161,14 @@ def bench_unet_inference(
     if features != 64:
         result["features"] = features
     if quant == "int8_fused":
-        # record the RESOLVED variants so every JSON line is reproducible
-        from mrisr_tpu.serve.quant import _default_variants
+        # record the RESOLVED variants so every JSON line is reproducible —
+        # from the same resolution the apply fn performs (quant.py), so a
+        # legacy table's silent shared->dual degrade is reported as run
+        from mrisr_tpu.serve.quant import resolve_variants
 
-        d_impl, d_emit = _default_variants()
-        result["upconv_impl"] = upconv_impl or d_impl
-        result["skip_emit"] = skip_emit or d_emit
+        result["upconv_impl"], result["skip_emit"] = resolve_variants(
+            variables, upconv_impl, skip_emit
+        )
     if gflops_per_slice is not None:
         # int8 programs report conv flops on the same 2xMAC convention, so
         # MFU stays against the bf16 peak: >1.0 means the int8 path passed

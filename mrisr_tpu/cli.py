@@ -495,15 +495,24 @@ def _compare_row_from_metrics(name, m):
     psnr6) table row.  Pair/diffusion models carry '3mm'/'6mm' keys;
     progressive metrics carry per-stage 'i1'/'i2'/'i3' — i1/i3 predict
     across 3 mm gaps and i2 across 6 mm, same mapping the reference README
-    table uses for its Progressive row (`/root/reference/README.md:129`)."""
+    table uses for its Progressive row (`/root/reference/README.md:129`).
+    Missing stages/keys (truncated or partial artifacts) render as 'n/a'
+    cells rather than crashing — --from-results ingests external files."""
+    def g(stage, key):
+        v = m.get(stage)
+        return v.get(key) if isinstance(v, dict) else None
+
+    def avg(a, b):
+        return (a + b) / 2 if a is not None and b is not None else None
+
     if "i1" in m and "i2" in m:
         return (name,
-                (m["i1"]["ssim_mean"] + m["i3"]["ssim_mean"]) / 2,
-                (m["i1"]["psnr_mean"] + m["i3"]["psnr_mean"]) / 2,
-                m["i2"]["ssim_mean"], m["i2"]["psnr_mean"])
+                avg(g("i1", "ssim_mean"), g("i3", "ssim_mean")),
+                avg(g("i1", "psnr_mean"), g("i3", "psnr_mean")),
+                g("i2", "ssim_mean"), g("i2", "psnr_mean"))
     return (name,
-            m.get("3mm", {}).get("ssim_mean"), m.get("3mm", {}).get("psnr_mean"),
-            m.get("6mm", {}).get("ssim_mean"), m.get("6mm", {}).get("psnr_mean"))
+            g("3mm", "ssim_mean"), g("3mm", "psnr_mean"),
+            g("6mm", "ssim_mean"), g("6mm", "psnr_mean"))
 
 
 def cmd_compare(args):

@@ -99,12 +99,14 @@ def _upconv_call(x, w2, scale4, bias4, skip, interpret: bool = False):
     n, h, w, c = x.shape
     co = w2.shape[1] // 4
     cs = 0 if skip is None else skip.shape[-1]
-    # block rows so the int32 matmul temp stays ~<=2 MB of VMEM; only
-    # halvings that still DIVIDE h are legal — grid=(n, h//hblk) covers
-    # nothing past the last full block, so a non-divisor would silently
-    # leave the trailing 2*(h % hblk) output rows unwritten
+    # block rows so the int32 matmul temp stays ~<=2 MB of VMEM; hblk must
+    # keep DIVIDING h — grid=(n, h//hblk) covers nothing past the last full
+    # block, so a non-divisor would silently leave the trailing output rows
+    # unwritten.  Invariant: hblk | h at loop entry (hblk starts at h), and
+    # halving an EVEN divisor of h yields another divisor, so the evenness
+    # check alone preserves it.
     hblk = h
-    while (hblk > 8 and hblk % 2 == 0 and h % (hblk // 2) == 0
+    while (hblk > 8 and hblk % 2 == 0
            and hblk * w * 4 * co * 4 > 2 * 1024 * 1024):
         hblk //= 2
     grid = (n, h // hblk)

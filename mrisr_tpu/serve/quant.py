@@ -292,6 +292,24 @@ def _default_variants() -> Tuple[str, str]:
     return ("convt", "shared")
 
 
+def resolve_variants(qparams: Dict, upconv_impl: str | None = None,
+                     skip_emit: str | None = None) -> Tuple[str, str]:
+    """The (upconv_impl, skip_emit) pair :func:`unet_int8_fused_apply` will
+    actually execute for these tables — the single source of truth for
+    callers that record/report the variants (bench.py), so a legacy
+    (pre-r3) table that silently degrades a DEFAULT 'shared' to 'dual' is
+    reported as what it ran, not as the default."""
+    full = all(
+        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
+                                        "upconv1", "final")
+    )
+    d_impl, d_emit = _default_variants()
+    return (
+        upconv_impl or d_impl,
+        skip_emit or (d_emit if full else "dual"),
+    )
+
+
 def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
                           upconv_impl: str | None = None,
                           skip_emit: str | None = None):
@@ -336,12 +354,12 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
                                         "upconv1", "final")
     )
     if upconv_impl is None or skip_emit is None:
-        d_impl, d_emit = _default_variants()
-        upconv_impl = upconv_impl or d_impl
         # a DEFAULT 'shared' silently degrades to 'dual' on legacy (pre-r3)
         # tables, which cannot express the shared emission; an EXPLICIT
         # skip_emit='shared' on such tables still raises below
-        skip_emit = skip_emit or (d_emit if full else "dual")
+        upconv_impl, skip_emit = resolve_variants(
+            qparams, upconv_impl, skip_emit
+        )
     a = {
         f"{blk}/{cn}": qparams[blk][cn]["a_scale"]
         for blk in (*_BLOCKS_DOWN, "bottleneck", *_BLOCKS_UP)

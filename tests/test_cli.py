@@ -150,13 +150,18 @@ def test_cli_compare_from_results(tmp_path, capsys):
             "average": {}}
     (res / "unet_test_metrics.json").write_text(json.dumps(pair))
     (res / "progressive_unet_test_metrics.json").write_text(json.dumps(prog))
+    # truncated progressive artifact (no i3): must render n/a, not crash
+    (res / "partial_test_metrics.json").write_text(json.dumps(
+        {"i1": prog["i1"], "i2": prog["i2"]}
+    ))
 
-    cli.main(["compare", "--model", "unet", "progressive_unet", "ghost",
-              "--from-results", "--results-dir", str(res)])
+    cli.main(["compare", "--model", "unet", "progressive_unet", "partial",
+              "ghost", "--from-results", "--results-dir", str(res)])
     out = capsys.readouterr().out
     assert "| unet | 0.9000 | 30.00 | 0.8000 | 25.00 |" in out
     # progressive: 3mm = mean(i1, i3), 6mm = i2
     assert "| progressive_unet | 0.6000 | 25.00 | 0.6000 | 22.00 |" in out
+    assert "| partial | n/a | n/a | 0.6000 | 22.00 |" in out
     assert "skipping ghost" in out
     assert os.path.exists(str(res / "comparison_metrics.csv"))
 

@@ -127,8 +127,6 @@ def test_distill_lambda_ssim_term():
     """lambda_ssim adds a (1 - SSIM(student, teacher)) component: the eval
     loss must equal alpha*teacher_mse + (1-alpha)*gt_mse + lam*ssim_loss,
     and the train step must still produce finite params."""
-    from flax import linen as nn
-
     from mrisr_tpu.models import UNet
     from mrisr_tpu.train.state import create_train_state, make_optimizer
 

@@ -248,3 +248,23 @@ def test_fused_shared_skip_emit(folded, batch):
     )
     with pytest.raises(ValueError, match="shared"):
         unet_int8_fused_apply(legacy, batch, skip_emit="shared")
+
+
+def test_resolve_variants_reports_what_runs(folded, batch):
+    """resolve_variants is the single source of truth for what the fused
+    apply executes: full r3 tables resolve the default to 'shared'; legacy
+    (pre-r3) tables degrade a DEFAULT 'shared' to 'dual' (there is no
+    shared emission they can express); explicit choices pass through."""
+    from mrisr_tpu.serve.quant import resolve_variants
+
+    calib = calibrate_unet(folded, [batch], dtype=jnp.float32)
+    q_full = quantize_unet(folded, calib)
+    legacy_calib = {
+        k: v for k, v in calib.items()
+        if not k.startswith("upconv") and k != "final"
+    }
+    q_legacy = quantize_unet(folded, legacy_calib)
+
+    assert resolve_variants(q_full) == ("convt", "shared")
+    assert resolve_variants(q_legacy) == ("convt", "dual")
+    assert resolve_variants(q_full, "einsum", "dual") == ("einsum", "dual")
