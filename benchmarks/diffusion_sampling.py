@@ -33,7 +33,7 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def bench_sampling(batch_size: int, image_size: int = 256,
-                   repeats: int = 2) -> dict:
+                   repeats: int = 2, quant: str = "none") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -52,10 +52,6 @@ def bench_sampling(batch_size: int, image_size: int = 256,
     hw = image_size
     x0 = jnp.zeros((1, hw, hw, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
-    variables = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        variables,
-    )
     schedule = DiffusionSchedule.create(
         num_timesteps=mcfg.num_timesteps,
         num_inference_steps=mcfg.num_inference_steps,
@@ -63,8 +59,44 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         selection=mcfg.timestep_selection,
     )
 
-    def eps_fn(x_in, t):
-        return model.apply(variables, x_in, t)
+    if quant in ("int8", "int8_deep"):
+        # int8 convs on the MXU (serve/quant_diffusion.py); calibration
+        # ranges don't affect throughput, so one small random-cond
+        # trajectory suffices for a speed measurement (accuracy is the
+        # separate benchmarks/diffusion_int8_accuracy.py).  'int8_deep'
+        # quantizes only the <=128² sites (DEEP_SITES) — the 256² level
+        # measured int8-NEGATIVE (see docs/SERVING.md diffusion section).
+        from mrisr_tpu.serve.quant_diffusion import (
+            DEEP_SITES,
+            calibrate_fastddpm,
+            fastddpm_int8_apply,
+            quantize_fastddpm,
+        )
+
+        calib_cond = jax.random.normal(
+            jax.random.PRNGKey(3), (8, hw, hw, 2), jnp.float32
+        )
+        qtree = quantize_fastddpm(
+            variables,
+            calibrate_fastddpm(
+                variables, schedule, [calib_cond], jax.random.PRNGKey(4),
+                time_dim=mcfg.time_dim,
+            ),
+            only=DEEP_SITES if quant == "int8_deep" else None,
+        )
+
+        def eps_fn(x_in, t):
+            return fastddpm_int8_apply(
+                qtree, x_in, t, time_dim=mcfg.time_dim
+            )
+    else:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            variables,
+        )
+
+        def eps_fn(x_in, t):
+            return model.apply(variables, x_in, t)
 
     @jax.jit
     def run(key):
@@ -103,6 +135,8 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         "value": round(slices_per_sec, 2),
         "unit": f"{image_size}x{image_size} slices/s",
     }
+    if quant != "none":
+        out["quant"] = quant
     if gflops_per_slice is not None:
         achieved = slices_per_sec * gflops_per_slice / 1e3
         out["gflops_per_slice"] = round(gflops_per_slice, 1)
@@ -115,10 +149,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-sizes", default="16,64,128")
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--quant", default="none",
+                   choices=("none", "int8", "int8_deep"))
     args = p.parse_args()
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         try:
-            print(json.dumps(bench_sampling(bs, args.image_size)))
+            print(json.dumps(
+                bench_sampling(bs, args.image_size, quant=args.quant)
+            ))
         except Exception as e:
             print(json.dumps({
                 "metric": "fastddpm_t10_sampling_slices_per_sec",

@@ -23,3 +23,8 @@ from mrisr_tpu.serve.quant import (  # noqa: F401
     unet_int8_apply,
     unet_int8_fused_apply,
 )
+from mrisr_tpu.serve.quant_diffusion import (  # noqa: F401
+    calibrate_fastddpm,
+    fastddpm_int8_apply,
+    quantize_fastddpm,
+)

@@ -1,0 +1,382 @@
+"""Post-training int8 quantization of the Fast-DDPM sampling path.
+
+Why: T=10 sampling is the diffusion model's serving cost — 10 sequential
+UNet forwards per slice (`models/diffusion.py:sample_ancestral`, mirroring
+`/root/reference/notebooks/FastDDPM_Training_Fixed.ipynb:cell13`).  The
+bf16 sampler measures 77 slices/s at batch 128 (64 % MFU,
+benchmarks/diffusion_sampling.py); the conv FLOPs are ~all of the model,
+and v5e's MXU runs int8 at 2x the bf16 rate, so quantizing the convs is
+the same single-chip lever the UNet serving path already uses
+(serve/quant.py).
+
+Scheme — the UNet path's symmetric PTQ, adapted to the DiffResBlock
+topology (GroupNorm/SiLU + additive time projection,
+`models/diffusion.py:DiffResBlock`):
+
+- every conv runs int8 x int8 -> int32 on the MXU: init_conv, each block's
+  conv1/conv2 and 1x1 channel-matching skip, the 3 ConvTranspose upconvs
+  (kernel == stride, so they quantize like any matmul — serve/quant.py
+  `_upconv_int8`), and final_conv;
+- weights per-output-channel symmetric int8 (absmax / 127); activations
+  per-conv static scale, calibrated over the REAL sampling trajectory
+  (:func:`calibrate_fastddpm` runs the ancestral chain and takes the
+  absmax across all T timesteps — x_t statistics drift over the chain, so
+  one scale must cover the union);
+- GroupNorm, SiLU and the time MLP/projections stay bf16: GroupNorm is a
+  data-dependent per-sample normalization (nothing to fold, unlike the
+  UNet's BatchNorm), so activations can NOT stay int8-resident between
+  convs here — each conv's input is quantized out of the float GN/SiLU
+  chain (XLA fuses quantize into that elementwise chain) and its output
+  is dequantized in the conv epilogue.  The win is pure MXU rate, not
+  HBM traffic; the time MLP is a (B, 128) matmul — noise-floor FLOPs.
+
+Measured (v5e, batch 128, T=10, benchmarks/diffusion_sampling.py):
+bf16 76.8 slices/s (64.3 % MFU) -> all-sites int8 73.8 (NEGATIVE — the
+256² level's quantize/requant traffic outweighs its MXU gain, matching
+the UNet profile where 64-out-channel 256² convs run at 37-69 % of
+ideal) -> :data:`DEEP_SITES`-only int8 **85.8 slices/s (+11.7 %, 71.9 %
+MFU)** — the serving recommendation (docs/SERVING.md).
+
+Unlike BatchNorm-folded serving there is no train/serve divergence to
+manage: the quantized forward is the training forward with int8 convs.
+
+Accuracy is measured per checkpoint like the UNet path
+(benchmarks/diffusion_int8_accuracy.py -> results_demo/): quantization
+noise feeds back through the 10-step chain, so the end-to-end SSIM delta —
+not per-call eps error — is the serving contract.
+
+The reference has no quantization anywhere (fp32 PyTorch throughout); this
+is a TPU-serving addition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mrisr_tpu.models.diffusion import (
+    DiffusionSchedule,
+    TimeEmbedding,
+)
+from mrisr_tpu.serve.quant import _quantize_conv
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# conv sites of FastDDPMUNet (models/diffusion.py), in forward order
+_BLOCKS = ("enc1", "enc2", "enc3", "bottleneck", "dec3", "dec2", "dec1")
+_UPCONVS = ("upconv3", "upconv2", "upconv1")
+
+
+def _conv(x, kernel, *, preferred=None):
+    """3x3 or 1x1 'SAME' conv (padding=1 on a 3x3 kernel == SAME)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=preferred,
+    )
+
+
+def _gn(x, p, groups: int, dtype):
+    """Flax GroupNorm applied functionally — bit-identical to the module
+    call inside FastDDPMUNet (same epsilon/param layout)."""
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype).apply(
+        {"params": p}, x
+    )
+
+
+def _time_proj(t_emb, p, dtype):
+    """DiffResBlock's additive time projection (Dense then broadcast)."""
+    y = t_emb.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+    return y[:, None, None, :]
+
+
+def _forward_impl(params: Dict, x: jax.Array, t: jax.Array, dtype,
+                  conv_fn, upconv_fn, time_dim: int):
+    """Shared FastDDPMUNet skeleton; ``conv_fn(site_name, x, raw_sub)`` and
+    ``upconv_fn(site_name, x, raw_sub)`` select float-vs-int8 execution.
+
+    Topology mirror of models/diffusion.py:FastDDPMUNet (M11,
+    `/root/reference/notebooks/FastDDPM_Training_Fixed.ipynb:cell7`).
+    """
+    t_emb = TimeEmbedding(time_dim, dtype=dtype).apply(
+        {"params": params["time_emb"]}, t
+    )
+
+    def resblock(name, x):
+        p = params[name]
+        in_ch = x.shape[-1]
+        feats = p["conv1"]["kernel"].shape[-1]
+        h = _gn(x, p["norm1"], max(1, in_ch // 4), dtype)
+        h = nn.silu(h)
+        h = conv_fn(f"{name}/conv1", h, p["conv1"])
+        h = h + _time_proj(t_emb, p["time_fc"], dtype)
+        h = _gn(h, p["norm2"], max(1, feats // 4), dtype)
+        h = nn.silu(h)
+        h = conv_fn(f"{name}/conv2", h, p["conv2"])
+        if "skip" in p:
+            x = conv_fn(f"{name}/skip", x, p["skip"])
+        return h + x
+
+    h = conv_fn("init_conv", x, params["init_conv"])
+    e1 = resblock("enc1", h)
+    h = nn.max_pool(e1, (2, 2), strides=(2, 2))
+    e2 = resblock("enc2", h)
+    h = nn.max_pool(e2, (2, 2), strides=(2, 2))
+    e3 = resblock("enc3", h)
+    h = nn.max_pool(e3, (2, 2), strides=(2, 2))
+
+    h = resblock("bottleneck", h)
+
+    h = upconv_fn("upconv3", h, params["upconv3"])
+    h = resblock("dec3", jnp.concatenate([h, e3], axis=-1))
+    h = upconv_fn("upconv2", h, params["upconv2"])
+    h = resblock("dec2", jnp.concatenate([h, e2], axis=-1))
+    h = upconv_fn("upconv1", h, params["upconv1"])
+    h = resblock("dec1", jnp.concatenate([h, e1], axis=-1))
+
+    base = params["init_conv"]["kernel"].shape[-1]
+    h = _gn(h, params["final_norm"], max(1, base // 4), dtype)
+    h = nn.silu(h)
+    h = conv_fn("final_conv", h, params["final_conv"])
+    return h.astype(jnp.float32)
+
+
+def fastddpm_float_apply(params: Dict, x: jax.Array, t: jax.Array,
+                         dtype=jnp.float32, time_dim: int = 128,
+                         stats: Dict | None = None, stat_fn=None):
+    """Float forward on the raw param tree (+ optional per-conv-input range
+    recording).  Equality with ``FastDDPMUNet.apply`` is tested
+    (tests/test_quant_diffusion.py)."""
+    if stat_fn is None:
+        stat_fn = lambda a: jnp.max(jnp.abs(a)).astype(jnp.float32)  # noqa: E731
+
+    def conv_fn(name, h, sub):
+        if stats is not None:
+            stats[name] = (
+                jnp.maximum(stats[name], stat_fn(h)) if name in stats
+                else stat_fn(h)
+            )
+        return _conv(h.astype(dtype), sub["kernel"].astype(dtype)) + sub[
+            "bias"
+        ].astype(dtype)
+
+    def upconv_fn(name, h, sub):
+        if stats is not None:
+            stats[name] = (
+                jnp.maximum(stats[name], stat_fn(h)) if name in stats
+                else stat_fn(h)
+            )
+        y = jax.lax.conv_transpose(
+            h.astype(dtype), sub["kernel"].astype(dtype), (2, 2), "VALID",
+            dimension_numbers=_DN,
+        )
+        return y + sub["bias"].astype(dtype)
+
+    return _forward_impl(params, x, t, dtype, conv_fn, upconv_fn, time_dim)
+
+
+def calibrate_fastddpm(
+    variables: Dict,
+    schedule: DiffusionSchedule,
+    cond_batches: List[jax.Array],
+    key: jax.Array,
+    dtype=jnp.bfloat16,
+    time_dim: int = 128,
+) -> Dict[str, float]:
+    """Per-conv-input absmax over the REAL T-step ancestral trajectory.
+
+    Runs the same chain as ``sample_ancestral`` (FIX#2 posterior-mean
+    semantics, `Fixed:cell13`) with a stats-recording forward, so the
+    calibrated ranges cover the x_t distribution the quantized sampler
+    will actually see at every step — q_sample states are NOT a substitute
+    early in the chain, where x_t carries accumulated model error.
+
+    cond_batches: list of (B, H, W, 2) [pre, post] conditioning batches
+    (a handful of real/validation pairs is enough).
+    """
+    params = variables["params"]
+    ts = schedule.timesteps
+    n_steps = schedule.num_inference_steps
+    order = np.arange(n_steps - 1, -1, -1)
+    ts_np = np.asarray(ts)
+    abar_all = np.asarray(schedule.alphas_cumprod)
+    alphas_all = np.asarray(schedule.alphas)
+
+    @jax.jit
+    def fwd(x_in, t_batch):
+        stats: Dict[str, jax.Array] = {}
+        eps = fastddpm_float_apply(
+            params, x_in, t_batch, dtype=dtype, time_dim=time_dim,
+            stats=stats,
+        )
+        return eps, stats
+
+    acc: Dict[str, float] = {}
+    for bi, cond in enumerate(cond_batches):
+        b, h, w, _ = cond.shape
+        k = jax.random.fold_in(key, bi)
+        k_init, k_loop = jax.random.split(k)
+        x = jax.random.normal(k_init, (b, h, w, 1), jnp.float32)
+        for step_idx in order:  # descending, mirrors sample_ancestral
+            t_val = int(ts_np[step_idx])
+            abar = float(abar_all[t_val])
+            t_batch = jnp.full((b,), t_val, jnp.int32)
+            eps, stats = fwd(jnp.concatenate([cond, x], axis=-1), t_batch)
+            for name, v in jax.device_get(stats).items():
+                acc[name] = max(acc.get(name, 0.0), float(v))
+            x = (1.0 / np.sqrt(abar)) * (
+                x - (1.0 - abar) / np.sqrt(1.0 - abar) * eps
+            )
+            if step_idx > 0:
+                t_prev = int(ts_np[step_idx - 1])
+                abar_prev = float(abar_all[t_prev])
+                beta_t = 1.0 - float(alphas_all[t_val])
+                pvar = max((1.0 - abar_prev) / (1.0 - abar) * beta_t, 1e-20)
+                z = jax.random.normal(
+                    jax.random.fold_in(k_loop, t_val), x.shape, jnp.float32
+                )
+                x = x + np.sqrt(pvar) * z
+    return acc
+
+
+def calibrate_fastddpm_inputs(
+    variables: Dict,
+    batches: List,
+    dtype=jnp.bfloat16,
+    time_dim: int = 128,
+) -> Dict[str, float]:
+    """Per-conv-input absmax over GIVEN forward inputs.
+
+    batches: list of ``(x_in (B, H, W, 3), t (B,) int32)`` pairs — e.g.
+    q_sample states built from ground-truth middles, or any representative
+    (x_t, t) set.  Cheaper than the trajectory calibrator and independent
+    of sampler behavior; prefer :func:`calibrate_fastddpm` for serving a
+    trained checkpoint (it sees the x_t distribution the sampler actually
+    visits, including accumulated model error), and this one when the
+    model's own trajectory is not trustworthy or GT states are available.
+    """
+    params = variables["params"]
+
+    @jax.jit
+    def fwd(x_in, t_batch):
+        stats: Dict[str, jax.Array] = {}
+        fastddpm_float_apply(
+            params, x_in, t_batch, dtype=dtype, time_dim=time_dim,
+            stats=stats,
+        )
+        return stats
+
+    acc: Dict[str, float] = {}
+    for x_in, t in batches:
+        for name, v in jax.device_get(fwd(x_in, t)).items():
+            acc[name] = max(acc.get(name, 0.0), float(v))
+    return acc
+
+
+# the conv sites that run at <=128² spatial size — where the UNet int8
+# profile measured the MXU at 87-98% of the int8 ideal (docs/SERVING.md);
+# the 256² level is K/N-starved and measured int8-NEGATIVE here (all-sites
+# int8 73.8 slices/s vs bf16 76.8; this subset 85.8 — see module docstring)
+DEEP_SITES = (
+    "enc2/conv1", "enc2/conv2", "enc2/skip",
+    "enc3/conv1", "enc3/conv2", "enc3/skip",
+    "bottleneck/conv1", "bottleneck/conv2",
+    "upconv3", "dec3/conv1", "dec3/conv2", "dec3/skip",
+    "upconv2", "dec2/conv1", "dec2/conv2", "dec2/skip",
+)
+
+
+def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
+                      only=None) -> Dict:
+    """Raw fp params + trajectory calibration -> int8 serving tree.
+
+    Returns ``{"params": <bf16 copy of the full tree — GN/SiLU/time params
+    read from here; bf16 conv kernels remain so the float forward can run
+    from the same tree>, "int8": {site: {w_int8, a_scale, scale, bias}}}``
+    (per-output-channel weight scales + fused dequant factor,
+    serve/quant.py ``_quantize_conv``).
+
+    ``only``: optional iterable of site names — quantize just those convs
+    (e.g. :data:`DEEP_SITES`); the apply fn runs the rest in float.
+    """
+    params = variables["params"]
+    sites: Dict[str, Dict] = {}
+    only_set = None if only is None else set(only)
+
+    def grab(name, sub):
+        if only_set is not None and name not in only_set:
+            return
+        if name not in calib:
+            raise KeyError(
+                f"calibration is missing conv site {name!r} — calibrate "
+                "with calibrate_fastddpm on the same topology"
+            )
+        sites[name] = _quantize_conv(sub["kernel"], sub["bias"], calib[name])
+
+    grab("init_conv", params["init_conv"])
+    for blk in _BLOCKS:
+        grab(f"{blk}/conv1", params[blk]["conv1"])
+        grab(f"{blk}/conv2", params[blk]["conv2"])
+        if "skip" in params[blk]:
+            grab(f"{blk}/skip", params[blk]["skip"])
+    for up in _UPCONVS:
+        grab(up, params[up])
+    grab("final_conv", params["final_conv"])
+
+    p_bf16 = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if a.dtype == jnp.float32 else a,
+        params,
+    )
+    return {"params": p_bf16, "int8": sites}
+
+
+def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
+                        dtype=jnp.bfloat16, time_dim: int = 128):
+    """int8-conv Fast-DDPM forward: (B, H, W, 3) + (B,) t -> (B, H, W, 1).
+
+    Drop-in ``eps_fn`` for the samplers::
+
+        q = quantize_fastddpm(variables, calibrate_fastddpm(...))
+        out = sample_ancestral(lambda xi, ti: fastddpm_int8_apply(q, xi, ti),
+                               cond, key, schedule)
+
+    Every conv input is quantized out of the float GN/SiLU chain at its
+    trajectory-calibrated scale, runs int8 x int8 -> int32 on the MXU, and
+    is dequantized (per-out-channel) + biased in the epilogue — XLA fuses
+    both elementwise chains into the surrounding ops.
+    """
+    params, sites = qtree["params"], qtree["int8"]
+
+    def qin(h, lq):
+        return jnp.clip(
+            jnp.round(h.astype(jnp.float32) / lq["a_scale"]), -127, 127
+        ).astype(jnp.int8)
+
+    def conv_fn(name, h, sub):
+        lq = sites.get(name)
+        if lq is None:  # site not quantized (quantize_fastddpm(only=...))
+            return _conv(h.astype(dtype), sub["kernel"].astype(dtype)) + sub[
+                "bias"
+            ].astype(dtype)
+        y = _conv(qin(h, lq), lq["w_int8"], preferred=jnp.int32)
+        return (y.astype(jnp.float32) * lq["scale"] + lq["bias"]).astype(dtype)
+
+    def upconv_fn(name, h, sub):
+        lq = sites.get(name)
+        if lq is None:
+            y = jax.lax.conv_transpose(
+                h.astype(dtype), sub["kernel"].astype(dtype), (2, 2), "VALID",
+                dimension_numbers=_DN,
+            )
+            return y + sub["bias"].astype(dtype)
+        y = jax.lax.conv_transpose(
+            qin(h, lq), lq["w_int8"], (2, 2), "VALID", dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
+        return (y.astype(jnp.float32) * lq["scale"] + lq["bias"]).astype(dtype)
+
+    return _forward_impl(params, x, t, dtype, conv_fn, upconv_fn, time_dim)
