@@ -10,6 +10,13 @@ Measurement notes (this matters on the axon TPU tunnel):
   does not reliably synchronize, so the timed region is a SINGLE compiled
   ``lax.scan`` of K data-dependent forwards ended by a scalar fetch — no
   per-call dispatch latency, no cacheable repeats, a real device sync.
+- scan_len amortizes the ONE remaining dispatch round-trip (~30 ms on the
+  tunnel).  Measured int8_fused ladder at batch 128: scan_len 10 -> 2,829
+  slices/s, 30 -> 2,968, 50 -> 2,989, 100 -> 3,011 — converging to the
+  per-op device profile's 42.2 ms/iter steady state (= 3,031 slices/s,
+  docs/SERVING.md), i.e. long scans measure the device, not the harness.
+  Default is 100 (r3; earlier rounds' JSONs used 10 — add ~6% when
+  comparing).
 - batch sweep on v5e: 64 -> 1220, 128 -> 1569 (best), 192 -> 1476 slices/s,
   256 -> OOM; default is 128.
 
@@ -27,8 +34,10 @@ activations (``--quant int8_fused``, serve/quant.py) — the fastest
 exact-topology configuration, measured within +0.005 SSIM of bf16 on the
 demo checkpoint (results_demo/int8_accuracy.json).  Measured v5e ladder
 at batch 128: bf16 1,627 (77.8% MFU) -> int8 2,246 -> int8_fused with the
-r3 full-int8 decoder + shared-scale skips 2,829 (1.35x the bf16 dense
-peak).  ``--quant none`` reproduces the bf16 number.  The width-32
+r3 full-int8 decoder + shared-scale skips 2,829 at scan_len 10 / **3,011
+at the scan_len-100 default** (1.44x the bf16 dense peak; the difference
+is the amortized dispatch, see measurement notes).  ``--quant none``
+reproduces the bf16 number.  The width-32
 distilled student (serve/distill.py, ``--features 32``) measures 8,384
 slices/s with int8_fused at batch 384 — 1.68x the 5k target — at a
 measured -0.007 SSIM vs its teacher (BASELINE.md, results_demo/README.md);
@@ -70,7 +79,7 @@ def _compiled_gflops(lowered_compiled, batch_size: int) -> float | None:
 def bench_unet_inference(
     batch_size: int = 128,
     image_size: int = 256,
-    scan_len: int = 10,
+    scan_len: int = 100,
     repeats: int = 2,
     quant: str = "none",
     features: int = 64,
@@ -185,7 +194,7 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=128)
-    p.add_argument("--scan-len", type=int, default=10)
+    p.add_argument("--scan-len", type=int, default=100)
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument(
         "--quant", default="int8_fused",
