@@ -330,8 +330,9 @@ def cmd_distill(args):
 
 
 def cmd_export_serving(args):
-    """Export a trained pair model as a one-artifact serving bundle
-    (serve/bundle.py): BN-folded + optionally int8-quantized, loadable by
+    """Export a trained model as a one-artifact serving bundle
+    (serve/bundle.py): BN-folded + optionally int8-quantized (pair
+    models), or the packaged T-step sampler (fastddpm), loadable by
     `engine_from_bundle` with no checkpoint or calibration at startup."""
     from mrisr_tpu.config import PRESETS
     from mrisr_tpu.serve.bundle import export_serving_bundle
@@ -738,7 +739,10 @@ def main(argv=None):
     q.add_argument("--model", default="unet")
     q.add_argument("--out", required=True, help="bundle output directory")
     q.add_argument("--quant", default="int8_fused",
-                   choices=("none", "int8", "int8_fused"))
+                   choices=("none", "int8", "int8_fused", "int8_deep"),
+                   help="pair models: none/int8/int8_fused (default); "
+                        "fastddpm: none/int8/int8_deep (int8_deep is the "
+                        "measured recommendation)")
     q.add_argument("--calib-batches", type=int, default=4)
     q.add_argument("--percentile", type=float, default=None,
                    help="activation calibration |x| percentile "

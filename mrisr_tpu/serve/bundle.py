@@ -112,11 +112,84 @@ def load_bundle(path: str) -> Tuple[Dict, Dict]:
     return _unflatten(flat), meta
 
 
+def _reflatten_int8_sites(nested: Dict) -> Dict[str, Dict]:
+    """Undo _unflatten's splitting of '/'-bearing conv-site names.
+
+    int8 site names ("enc2/conv1", "upconv3", ...) contain the same
+    separator the bundle flattener uses, so on load they come back as a
+    nested tree; a site is recognizable as the dict holding the quantized
+    conv record (``w_int8``), which is re-keyed by its joined path.
+    """
+    sites: Dict[str, Dict] = {}
+
+    def walk(node, path):
+        if "w_int8" in node:
+            sites[_SEP.join(path)] = node
+            return
+        for k, v in node.items():
+            walk(v, path + [k])
+
+    walk(nested, [])
+    return sites
+
+
 def make_bundle_apply(params: Dict, meta: Dict):
-    """Jitted ``(B, H, W, 2) -> (B, H, W, 1)`` forward for a loaded bundle."""
+    """Jitted serving forward for a loaded bundle.
+
+    pair bundles: ``(B, H, W, 2) -> (B, H, W, 1)`` one-shot forward;
+    diffusion bundles: same signature, but the call runs the full T-step
+    ancestral sampling chain (fixed PRNG key per call — the api.py
+    LoadedModel convention, so serving is deterministic per input).
+    """
     import jax
 
     quant = meta["quant"]
+    if meta.get("kind") == "diffusion":
+        import jax.numpy as jnp
+
+        from mrisr_tpu.models.diffusion import (
+            DiffusionSchedule,
+            sample_ancestral,
+        )
+        from mrisr_tpu.serve.quant_diffusion import (
+            fastddpm_float_apply,
+            fastddpm_int8_apply,
+        )
+
+        sched_arrays = params.pop("schedule")
+        schedule = DiffusionSchedule(
+            betas=jnp.asarray(sched_arrays["betas"], jnp.float32),
+            alphas=jnp.asarray(sched_arrays["alphas"], jnp.float32),
+            alphas_cumprod=jnp.asarray(
+                sched_arrays["alphas_cumprod"], jnp.float32
+            ),
+            timesteps=jnp.asarray(sched_arrays["timesteps"], jnp.int32),
+        )
+        time_dim = int(meta["time_dim"])
+        combine = meta.get("combine", "first")
+        if quant in ("int8", "int8_deep"):
+            qtree = {
+                "params": params["params"],
+                "int8": _reflatten_int8_sites(params["int8"]),
+            }
+
+            def eps_fn(x_in, t):
+                return fastddpm_int8_apply(qtree, x_in, t, time_dim=time_dim)
+
+        else:
+
+            def eps_fn(x_in, t):
+                return fastddpm_float_apply(
+                    params["params"], x_in, t, dtype=jnp.bfloat16,
+                    time_dim=time_dim,
+                )
+
+        return jax.jit(
+            lambda cond: sample_ancestral(
+                eps_fn, cond, jax.random.PRNGKey(0), schedule,
+                combine=combine,
+            )
+        )
     if quant in ("int8", "int8_fused"):
         from mrisr_tpu.serve.quant import (
             unet_int8_apply,
@@ -164,10 +237,15 @@ def export_serving_bundle(
         model_name, models_dir=models_dir, checkpoint="required",
         image_size=image_size, cfg=cfg, fold_bn=True,
     )
+    if loaded.kind == "diffusion":
+        return _export_diffusion_bundle(
+            out_path, loaded, quant=quant,
+            calibration_batches=calibration_batches, image_size=image_size,
+        )
     if loaded.kind != "pair":
         raise ValueError(
-            f"serving bundles cover 2-in/1-out pair models; {model_name!r} "
-            f"is kind={loaded.kind!r}"
+            f"serving bundles cover 2-in/1-out pair models and the fastddpm "
+            f"diffusion family; {model_name!r} is kind={loaded.kind!r}"
         )
     from mrisr_tpu.serve.quant import _require_folded_unet
 
@@ -202,6 +280,88 @@ def export_serving_bundle(
         out_path, params, model_name=model_name, quant=quant,
         base_features=features, image_size=image_size,
         calibration=calib_desc,
+    )
+
+
+def _export_diffusion_bundle(
+    out_path: str,
+    loaded,
+    *,
+    quant: str,
+    calibration_batches,
+    image_size: Tuple[int, int],
+) -> str:
+    """Fast-DDPM (M11) serving bundle: the T-step ancestral sampler as one
+    artifact.  quant: 'none' (bf16), 'int8' (every conv), or 'int8_deep'
+    (the <=128² DEEP_SITES subset — the only variant measured FASTER than
+    bf16, +11.7 %; docs/SERVING.md diffusion section)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.serve.quant_diffusion import (
+        DEEP_SITES,
+        calibrate_fastddpm,
+        quantize_fastddpm,
+    )
+
+    if loaded.name == "fastddpm_simple":
+        # M10's SimpleDiffusionUNet is a different topology than the
+        # M11 skeleton the quant/float mirror reimplements
+        raise ValueError(
+            "diffusion bundles cover the fastddpm (M11) family; "
+            "fastddpm_simple has no bundle path"
+        )
+    if quant not in ("none", "int8", "int8_deep"):
+        raise ValueError(
+            f"diffusion bundles support quant none/int8/int8_deep, "
+            f"got {quant!r} (int8_fused is the pair-UNet path; the "
+            f"GroupNorm topology cannot keep activations int8-resident)"
+        )
+    variables = loaded.variables
+    # final Dense of the time MLP outputs the embedding dim
+    time_dim = int(
+        variables["params"]["time_emb"]["Dense_1"]["kernel"].shape[-1]
+    )
+    if quant in ("int8", "int8_deep"):
+        if not calibration_batches:
+            raise ValueError("int8 bundles need calibration_batches")
+        ranges = calibrate_fastddpm(
+            variables, loaded.schedule, calibration_batches,
+            jax.random.PRNGKey(0), time_dim=time_dim,
+        )
+        params = quantize_fastddpm(
+            variables, ranges,
+            only=DEEP_SITES if quant == "int8_deep" else None,
+        )
+        calib_desc = (
+            f"{len(calibration_batches)} cond batches, trajectory absmax"
+        )
+    else:
+        params = {
+            "params": jax.tree.map(
+                lambda a: jnp.asarray(a, jnp.bfloat16)
+                if a.dtype == jnp.float32 else a,
+                variables["params"],
+            )
+        }
+        calib_desc = None
+    # ship the exact sampling schedule tables — reconstruction from config
+    # at load time could drift from what the model was evaluated with
+    sched = loaded.schedule
+    params = dict(params)
+    params["schedule"] = {
+        "betas": np.asarray(sched.betas),
+        "alphas": np.asarray(sched.alphas),
+        "alphas_cumprod": np.asarray(sched.alphas_cumprod),
+        "timesteps": np.asarray(sched.timesteps),
+    }
+    base_ch = int(variables["params"]["init_conv"]["kernel"].shape[-1])
+    return save_bundle(
+        out_path, params, model_name=loaded.name, quant=quant,
+        base_features=base_ch, image_size=image_size,
+        calibration=calib_desc,
+        extra={"kind": "diffusion", "time_dim": time_dim,
+               "combine": "first"},
     )
 
 

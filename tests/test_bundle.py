@@ -121,3 +121,132 @@ def test_export_serving_cli(tmp_path):
     assert meta["calibration"].endswith("absmax")
     y = make_bundle_apply(params, meta)(jnp.zeros((1, 16, 16, 2)))
     assert y.shape == (1, 16, 16, 1)
+
+
+# ---------------------------------------------------------- diffusion bundles
+
+DHW, DBASE, DTDIM = 32, 8, 16
+
+
+@pytest.fixture(scope="module")
+def diffusion_loaded():
+    """A LoadedModel-shaped fastddpm with a low-noise schedule (random-init
+    trajectories stay bounded — tests/test_quant_diffusion.py docstring)."""
+    from mrisr_tpu.api import LoadedModel
+    from mrisr_tpu.models.diffusion import DiffusionSchedule, FastDDPMUNet
+
+    model = FastDDPMUNet(base_features=DBASE, time_dim=DTDIM)
+    x = jnp.zeros((2, DHW, DHW, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32)
+    )
+    schedule = DiffusionSchedule.create(
+        num_timesteps=50, num_inference_steps=4, beta_schedule="linear",
+        selection="linspace",
+    )
+    return LoadedModel(
+        name="fastddpm", module=model, variables=variables,
+        kind="diffusion", schedule=schedule,
+    )
+
+
+@pytest.fixture(scope="module")
+def cond_batch():
+    return jax.random.normal(jax.random.PRNGKey(9), (2, DHW, DHW, 2))
+
+
+def test_diffusion_bundle_bf16_roundtrip(diffusion_loaded, cond_batch,
+                                         tmp_path):
+    from mrisr_tpu.models.diffusion import sample_ancestral
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+    from mrisr_tpu.serve.quant_diffusion import fastddpm_float_apply
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="none",
+        calibration_batches=None, image_size=(DHW, DHW),
+    )
+    params, meta = load_bundle(path)
+    assert meta["kind"] == "diffusion"
+    assert meta["quant"] == "none"
+    assert meta["time_dim"] == DTDIM
+    assert meta["base_features"] == DBASE
+    # schedule tables ship verbatim
+    np.testing.assert_array_equal(
+        np.asarray(params["schedule"]["timesteps"]),
+        np.asarray(diffusion_loaded.schedule.timesteps),
+    )
+    y = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    assert y.shape == (2, DHW, DHW, 1)
+    assert np.all(np.isfinite(y))
+    # same fixed key + same bf16 eps -> same trajectory as the direct call
+    bf16_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        diffusion_loaded.variables["params"],
+    )
+    ref = np.asarray(jax.jit(
+        lambda c: sample_ancestral(
+            lambda xi, ti: fastddpm_float_apply(
+                bf16_params, xi, ti, dtype=jnp.bfloat16, time_dim=DTDIM
+            ),
+            c, jax.random.PRNGKey(0), diffusion_loaded.schedule,
+        )
+    )(cond_batch))
+    rel = np.sqrt(np.mean((y - ref) ** 2)) / (ref.std() + 1e-8)
+    assert rel < 0.05, rel  # closure-vs-arg jit fusion noise only
+
+
+def test_diffusion_bundle_int8_deep(diffusion_loaded, cond_batch, tmp_path):
+    from mrisr_tpu.models.diffusion import sample_ancestral
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+    from mrisr_tpu.serve.quant_diffusion import DEEP_SITES
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="int8_deep",
+        calibration_batches=[cond_batch], image_size=(DHW, DHW),
+    )
+    params, meta = load_bundle(path)
+    assert meta["quant"] == "int8_deep"
+    # '/'-bearing site names survive the flatten/unflatten roundtrip
+    from mrisr_tpu.serve.bundle import _reflatten_int8_sites
+
+    sites = _reflatten_int8_sites(params["int8"])
+    assert set(sites) == set(DEEP_SITES)
+    assert sites["enc2/conv1"]["w_int8"].dtype == np.int8
+    y = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    assert y.shape == (2, DHW, DHW, 1)
+    assert np.all(np.isfinite(y))
+    # near the float sampler under the same keys (noise compounds over the
+    # 4-step chain; bound mirrors test_int8_sampler_end_to_end)
+    ref = np.asarray(jax.jit(
+        lambda c: sample_ancestral(
+            lambda xi, ti: diffusion_loaded.module.apply(
+                diffusion_loaded.variables, xi, ti
+            ),
+            c, jax.random.PRNGKey(0), diffusion_loaded.schedule,
+        )
+    )(cond_batch))
+    rel = np.sqrt(np.mean((y - ref) ** 2)) / (ref.std() + 1e-8)
+    assert rel < 0.35, rel
+
+
+def test_diffusion_bundle_engine(diffusion_loaded, cond_batch, tmp_path):
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="int8_deep",
+        calibration_batches=[cond_batch], image_size=(DHW, DHW),
+    )
+    with engine_from_bundle(path, batch_size=2) as eng:
+        y = eng.predict(np.zeros((DHW, DHW, 2), np.float32))
+    assert y.shape == (DHW, DHW, 1)
+    assert np.all(np.isfinite(y))
+
+
+def test_diffusion_bundle_rejects_bad_quant(diffusion_loaded, tmp_path):
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+
+    with pytest.raises(ValueError, match="int8_deep"):
+        _export_diffusion_bundle(
+            str(tmp_path / "b"), diffusion_loaded, quant="int8_fused",
+            calibration_batches=None, image_size=(DHW, DHW),
+        )
