@@ -172,6 +172,10 @@ def make_bundle_apply(params: Dict, meta: Dict):
                 "params": params["params"],
                 "int8": _reflatten_int8_sites(params["int8"]),
             }
+            if "timesteps" in params:  # per-step a_scale row lookup
+                qtree["timesteps"] = jnp.asarray(
+                    params["timesteps"], jnp.int32
+                )
 
             def eps_fn(x_in, t):
                 return fastddpm_int8_apply(qtree, x_in, t, time_dim=time_dim)
@@ -365,12 +369,19 @@ def _export_diffusion_bundle(
     )
 
 
-def engine_from_bundle(path: str, batch_size: int = 128, **engine_kwargs):
-    """One-call serving: bundle dir -> running InferenceEngine."""
-    from mrisr_tpu.serve.engine import InferenceEngine
+def engine_from_bundle(path: str, batch_size: int = 128,
+                       data_parallel: bool = False, **engine_kwargs):
+    """One-call serving: bundle dir -> running InferenceEngine.
+
+    data_parallel=True shards each micro-batch over all local devices
+    (engine.data_parallel_apply) — works for pair and diffusion bundles
+    alike; batch_size must divide by the device count."""
+    from mrisr_tpu.serve.engine import InferenceEngine, data_parallel_apply
 
     params, meta = load_bundle(path)
     apply_fn = make_bundle_apply(params, meta)
+    if data_parallel:
+        apply_fn = data_parallel_apply(apply_fn, batch_size)
     h, w = meta["image_size"]
     return InferenceEngine(
         apply_fn, batch_size=batch_size, input_shape=(h, w, 2),

@@ -307,29 +307,42 @@ def engine_from_model(
             lambda x: module.apply(variables, x, train=False).astype(jnp.float32)
         )
     if data_parallel:
-        from jax.sharding import PartitionSpec as P
-
-        from mrisr_tpu.parallel.mesh import batch_sharding, make_mesh
-
-        mesh = make_mesh()
-        n_dev = mesh.devices.size
-        if batch_size % n_dev:
-            raise ValueError(
-                f"batch_size {batch_size} must divide over {n_dev} devices"
-            )
-        sharding = batch_sharding(mesh)
-        sharded_fwd = jax.jit(
-            apply_fn, out_shardings=jax.NamedSharding(mesh, P())
-        )
-
-        def apply_fn(x, _fwd=sharded_fwd, _sh=sharding):
-            # place each micro-batch sharded on 'data' straight from the
-            # host numpy array (wrapping in jnp.asarray first would commit
-            # the whole batch to device 0 and re-distribute it); GSPMD runs
-            # the forward per shard, params replicated; gather at the end
-            return _fwd(jax.device_put(x, _sh))
+        apply_fn = data_parallel_apply(apply_fn, batch_size)
 
     return InferenceEngine(
         apply_fn, batch_size=batch_size,
         input_shape=(image_size[0], image_size[1], 2), **engine_kwargs,
     )
+
+
+def data_parallel_apply(apply_fn, batch_size: int):
+    """Wrap a jitted ``(B, H, W, C) -> (B, H, W, C')`` forward to run
+    data-parallel over the ('data',) axis of a mesh spanning all local
+    devices (params replicated as jit constants) — serving DP over ICI.
+    batch_size must divide by the device count.  Works for any
+    batch-independent forward, including a diffusion bundle's packaged
+    T-step sampler."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from mrisr_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over {n_dev} devices"
+        )
+    sharding = batch_sharding(mesh)
+    sharded_fwd = jax.jit(
+        apply_fn, out_shardings=jax.NamedSharding(mesh, P())
+    )
+
+    def wrapped(x, _fwd=sharded_fwd, _sh=sharding):
+        # place each micro-batch sharded on 'data' straight from the
+        # host numpy array (wrapping in jnp.asarray first would commit
+        # the whole batch to device 0 and re-distribute it); GSPMD runs
+        # the forward per shard, params replicated; gather at the end
+        return _fwd(jax.device_put(x, _sh))
+
+    return wrapped

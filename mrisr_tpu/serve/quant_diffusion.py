@@ -18,10 +18,14 @@ topology (GroupNorm/SiLU + additive time projection,
   (kernel == stride, so they quantize like any matmul — serve/quant.py
   `_upconv_int8`), and final_conv;
 - weights per-output-channel symmetric int8 (absmax / 127); activations
-  per-conv static scale, calibrated over the REAL sampling trajectory
-  (:func:`calibrate_fastddpm` runs the ancestral chain and takes the
-  absmax across all T timesteps — x_t statistics drift over the chain, so
-  one scale must cover the union);
+  per-conv **per-step** scales, calibrated over the REAL sampling
+  trajectory (:func:`calibrate_fastddpm` runs the ancestral chain and
+  records each site's absmax at every inference step; the apply maps the
+  traced ``t`` to its schedule row).  Per-step matters: x_t statistics
+  drift by orders of magnitude across the chain, and one static scale per
+  site measured **−0.30 SSIM** end-to-end on the demo checkpoint vs
+  **−0.0015** with the per-step tables (same throughput — the lookup is a
+  scalar per trace step);
 - GroupNorm, SiLU and the time MLP/projections stay bf16: GroupNorm is a
   data-dependent per-sample normalization (nothing to fold, unlike the
   UNet's BatchNorm), so activations can NOT stay int8-resident between
@@ -30,12 +34,15 @@ topology (GroupNorm/SiLU + additive time projection,
   is dequantized in the conv epilogue.  The win is pure MXU rate, not
   HBM traffic; the time MLP is a (B, 128) matmul — noise-floor FLOPs.
 
-Measured (v5e, batch 128, T=10, benchmarks/diffusion_sampling.py):
-bf16 76.8 slices/s (64.3 % MFU) -> all-sites int8 73.8 (NEGATIVE — the
-256² level's quantize/requant traffic outweighs its MXU gain, matching
-the UNet profile where 64-out-channel 256² convs run at 37-69 % of
-ideal) -> :data:`DEEP_SITES`-only int8 **85.8 slices/s (+11.7 %, 71.9 %
-MFU)** — the serving recommendation (docs/SERVING.md).
+Measured (v5e, batch 128, T=10, benchmarks/diffusion_sampling.py;
+accuracy deltas from benchmarks/diffusion_int8_accuracy.py on the demo
+checkpoint, per-step scales):
+bf16 76.8 slices/s (64.3 % MFU) -> all-sites int8 73.5 (NEGATIVE, and
+−0.010 SSIM — the 256² level's quantize/requant traffic outweighs its
+MXU gain, matching the UNet profile where 64-out-channel 256² convs run
+at 37-69 % of ideal) -> :data:`DEEP_SITES`-only int8 **85.6 slices/s
+(+11.4 %, 71.7 % MFU, −0.0015 SSIM)** — the serving recommendation
+(docs/SERVING.md); batch 192 measured slower (81.6).
 
 Unlike BatchNorm-folded serving there is no train/serve divergence to
 manage: the quantized forward is the training forward with int8 convs.
@@ -196,6 +203,16 @@ def calibrate_fastddpm(
 
     cond_batches: list of (B, H, W, 2) [pre, post] conditioning batches
     (a handful of real/validation pairs is enough).
+
+    Returns PER-STEP ranges: ``{site: (T,) absmax per inference step}``
+    plus the ``"__timesteps__"`` entry (the schedule's inference timestep
+    values) that lets the quantized apply map a traced ``t`` back to its
+    step row.  x_t statistics drift by orders of magnitude across the
+    chain (x_999 is amplified by 1/sqrt(abar) while x_36 is near the data
+    scale), so ONE static scale per site either clips the early steps or
+    starves the late ones — measured on the demo checkpoint, static
+    scales cost −0.3 SSIM end-to-end while per-step scales are the
+    standard diffusion-PTQ remedy.
     """
     params = variables["params"]
     ts = schedule.timesteps
@@ -214,7 +231,7 @@ def calibrate_fastddpm(
         )
         return eps, stats
 
-    acc: Dict[str, float] = {}
+    acc: Dict[str, np.ndarray] = {}
     for bi, cond in enumerate(cond_batches):
         b, h, w, _ = cond.shape
         k = jax.random.fold_in(key, bi)
@@ -226,7 +243,8 @@ def calibrate_fastddpm(
             t_batch = jnp.full((b,), t_val, jnp.int32)
             eps, stats = fwd(jnp.concatenate([cond, x], axis=-1), t_batch)
             for name, v in jax.device_get(stats).items():
-                acc[name] = max(acc.get(name, 0.0), float(v))
+                row = acc.setdefault(name, np.zeros(n_steps, np.float32))
+                row[step_idx] = max(row[step_idx], float(v))
             x = (1.0 / np.sqrt(abar)) * (
                 x - (1.0 - abar) / np.sqrt(1.0 - abar) * eps
             )
@@ -239,6 +257,7 @@ def calibrate_fastddpm(
                     jax.random.fold_in(k_loop, t_val), x.shape, jnp.float32
                 )
                 x = x + np.sqrt(pvar) * z
+    acc["__timesteps__"] = ts_np.astype(np.int32)
     return acc
 
 
@@ -289,15 +308,36 @@ DEEP_SITES = (
 )
 
 
+def _quantize_site(kernel, bias, a_absmax) -> Dict:
+    """One conv site's int8 tables.
+
+    Scalar ``a_absmax`` (static calibration) -> the UNet-path record
+    ({w_int8, a_scale, scale, bias}, fused dequant factor).  Per-step
+    array (trajectory calibration) -> {w_int8, a_scale (T,), w_scale
+    (per-out-channel), bias}: the dequant factor is assembled per step in
+    the apply epilogue as ``a_scale[step] * w_scale``.
+    """
+    a = np.asarray(a_absmax, np.float32)
+    rec = _quantize_conv(kernel, bias, float(a.max()))
+    if a.ndim == 0:
+        return rec
+    return {
+        "w_int8": rec["w_int8"],
+        "a_scale": jnp.asarray(np.maximum(a, 1e-12) / 127.0),
+        "w_scale": (rec["scale"] / rec["a_scale"]).astype(jnp.float32),
+        "bias": rec["bias"],
+    }
+
+
 def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
                       only=None) -> Dict:
-    """Raw fp params + trajectory calibration -> int8 serving tree.
+    """Raw fp params + calibration -> int8 serving tree.
 
     Returns ``{"params": <bf16 copy of the full tree — GN/SiLU/time params
     read from here; bf16 conv kernels remain so the float forward can run
-    from the same tree>, "int8": {site: {w_int8, a_scale, scale, bias}}}``
-    (per-output-channel weight scales + fused dequant factor,
-    serve/quant.py ``_quantize_conv``).
+    from the same tree>, "int8": {site: tables}, ["timesteps": (T,)]}``
+    (:func:`_quantize_site`; the ``timesteps`` row-lookup table is present
+    when the calibration is the per-step trajectory kind).
 
     ``only``: optional iterable of site names — quantize just those convs
     (e.g. :data:`DEEP_SITES`); the apply fn runs the rest in float.
@@ -305,6 +345,7 @@ def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
     params = variables["params"]
     sites: Dict[str, Dict] = {}
     only_set = None if only is None else set(only)
+    timesteps = calib.get("__timesteps__")
 
     def grab(name, sub):
         if only_set is not None and name not in only_set:
@@ -314,7 +355,7 @@ def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
                 f"calibration is missing conv site {name!r} — calibrate "
                 "with calibrate_fastddpm on the same topology"
             )
-        sites[name] = _quantize_conv(sub["kernel"], sub["bias"], calib[name])
+        sites[name] = _quantize_site(sub["kernel"], sub["bias"], calib[name])
 
     grab("init_conv", params["init_conv"])
     for blk in _BLOCKS:
@@ -331,7 +372,10 @@ def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
         if a.dtype == jnp.float32 else a,
         params,
     )
-    return {"params": p_bf16, "int8": sites}
+    out = {"params": p_bf16, "int8": sites}
+    if timesteps is not None:
+        out["timesteps"] = jnp.asarray(timesteps, jnp.int32)
+    return out
 
 
 def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
@@ -345,16 +389,41 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
                                cond, key, schedule)
 
     Every conv input is quantized out of the float GN/SiLU chain at its
-    trajectory-calibrated scale, runs int8 x int8 -> int32 on the MXU, and
-    is dequantized (per-out-channel) + biased in the epilogue — XLA fuses
+    calibrated scale, runs int8 x int8 -> int32 on the MXU, and is
+    dequantized (per-out-channel) + biased in the epilogue — XLA fuses
     both elementwise chains into the surrounding ops.
+
+    With a per-step trajectory calibration (qtree carries ``timesteps``),
+    each site's activation scale is looked up for THIS step: ``t`` (the
+    batch-uniform original timestep value) maps to its schedule row via
+    searchsorted, and ``a_scale[row]`` / ``a_scale[row] * w_scale`` feed
+    the quantizer/dequantizer — scalar per-trace-step ops, noise-floor
+    cost next to the convs.
     """
     params, sites = qtree["params"], qtree["int8"]
+    ts_table = qtree.get("timesteps")
+    row = None if ts_table is None else jnp.searchsorted(ts_table, t[0])
 
-    def qin(h, lq):
-        return jnp.clip(
-            jnp.round(h.astype(jnp.float32) / lq["a_scale"]), -127, 127
+    def qin_and_scale(h, lq):
+        # jnp, not np: bundles load tables as numpy, which cannot be
+        # indexed by the traced step row
+        a = jnp.asarray(lq["a_scale"])
+        if a.ndim:  # per-step table
+            if row is None:
+                raise ValueError(
+                    "per-step a_scale tables need the 'timesteps' lookup "
+                    "row in the qtree (quantize_fastddpm keeps it when the "
+                    "calibration came from calibrate_fastddpm)"
+                )
+            a_t = a[row]
+            dq = a_t * lq["w_scale"]
+        else:
+            a_t = a
+            dq = lq["scale"]
+        q = jnp.clip(
+            jnp.round(h.astype(jnp.float32) / a_t), -127, 127
         ).astype(jnp.int8)
+        return q, dq
 
     def conv_fn(name, h, sub):
         lq = sites.get(name)
@@ -362,8 +431,9 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
             return _conv(h.astype(dtype), sub["kernel"].astype(dtype)) + sub[
                 "bias"
             ].astype(dtype)
-        y = _conv(qin(h, lq), lq["w_int8"], preferred=jnp.int32)
-        return (y.astype(jnp.float32) * lq["scale"] + lq["bias"]).astype(dtype)
+        q, dq = qin_and_scale(h, lq)
+        y = _conv(q, lq["w_int8"], preferred=jnp.int32)
+        return (y.astype(jnp.float32) * dq + lq["bias"]).astype(dtype)
 
     def upconv_fn(name, h, sub):
         lq = sites.get(name)
@@ -373,10 +443,11 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
                 dimension_numbers=_DN,
             )
             return y + sub["bias"].astype(dtype)
+        q, dq = qin_and_scale(h, lq)
         y = jax.lax.conv_transpose(
-            qin(h, lq), lq["w_int8"], (2, 2), "VALID", dimension_numbers=_DN,
+            q, lq["w_int8"], (2, 2), "VALID", dimension_numbers=_DN,
             preferred_element_type=jnp.int32,
         )
-        return (y.astype(jnp.float32) * lq["scale"] + lq["bias"]).astype(dtype)
+        return (y.astype(jnp.float32) * dq + lq["bias"]).astype(dtype)
 
     return _forward_impl(params, x, t, dtype, conv_fn, upconv_fn, time_dim)

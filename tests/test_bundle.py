@@ -250,3 +250,29 @@ def test_diffusion_bundle_rejects_bad_quant(diffusion_loaded, tmp_path):
             str(tmp_path / "b"), diffusion_loaded, quant="int8_fused",
             calibration_batches=None, image_size=(DHW, DHW),
         )
+
+
+def test_diffusion_bundle_engine_data_parallel(diffusion_loaded, cond_batch,
+                                               tmp_path):
+    """DP serving of a diffusion bundle on the virtual 8-device mesh ==
+    single-device results (the packaged sampler is batch-independent and
+    threefry bits are sharding-invariant)."""
+    import jax
+
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+
+    assert jax.device_count() == 8
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="int8_deep",
+        calibration_batches=[cond_batch], image_size=(DHW, DHW),
+    )
+    rng = np.random.RandomState(4)
+    xs = [rng.rand(DHW, DHW, 2).astype(np.float32) for _ in range(8)]
+    with engine_from_bundle(path, batch_size=8, max_delay_ms=20.0) as single:
+        ys_single = single.predict_many(xs)
+    with engine_from_bundle(
+        path, batch_size=8, max_delay_ms=20.0, data_parallel=True
+    ) as dp:
+        ys_dp = dp.predict_many(xs)
+    for a, b in zip(ys_single, ys_dp):
+        np.testing.assert_allclose(a, b, atol=2e-2)

@@ -98,9 +98,15 @@ def test_trajectory_calibration_covers_sampler_ranges(model_and_vars):
         dtype=jnp.float32, time_dim=TDIM,
     )
     static = _input_calib(variables, [(12, 999)])
-    assert set(traj) == set(static)
-    # the random-init chain multiplies x by 1/sqrt(abar_t) each step
-    assert traj["init_conv"] > 10 * static["init_conv"]
+    assert set(traj) - {"__timesteps__"} == set(static)
+    # per-step rows, one per inference step, plus the t -> row lookup
+    assert traj["init_conv"].shape == (4,)
+    assert traj["__timesteps__"].shape == (4,)
+    # the random-init chain multiplies x by 1/sqrt(abar_t) each step, so
+    # the LAST steps' (low-t) rows dwarf the first forward's — exactly the
+    # per-site range drift that forces per-step scales
+    assert traj["init_conv"].max() > 10 * static["init_conv"]
+    assert traj["init_conv"].max() > 10 * traj["init_conv"].min() > 0
 
 
 def test_quantize_rejects_incomplete_calibration(model_and_vars):
@@ -189,3 +195,51 @@ def test_int8_sampler_end_to_end(model_and_vars):
     # trajectories must still stay close
     rel = np.sqrt(np.mean((got - ref) ** 2)) / (ref.std() + 1e-8)
     assert rel < 0.35, rel
+
+
+def test_per_step_scales_beat_static(model_and_vars):
+    """Collapsing the per-step calibration to one static absmax per site
+    (the r3-draft scheme) must never sample closer to the float chain than
+    the per-step tables — the range drift across steps is the whole reason
+    the tables exist (measured −0.3 SSIM end-to-end with static scales on
+    the demo checkpoint)."""
+    model, variables = model_and_vars
+    schedule = DiffusionSchedule.create(
+        num_timesteps=1000, num_inference_steps=4, beta_schedule="linear",
+        selection="linspace",
+    )
+    cond = jax.random.normal(jax.random.PRNGKey(21), (2, HW, HW, 2))
+    key = jax.random.PRNGKey(22)
+    calib = calibrate_fastddpm(
+        variables, schedule, [cond], jax.random.PRNGKey(23),
+        dtype=jnp.float32, time_dim=TDIM,
+    )
+    static_calib = {
+        k: float(np.max(v)) for k, v in calib.items()
+        if k != "__timesteps__"
+    }
+    ref = jax.jit(
+        lambda c, k: sample_ancestral(
+            lambda xi, ti: model.apply(variables, xi, ti), c, k, schedule
+        )
+    )(cond, key)
+
+    def run(q):
+        return np.asarray(jax.jit(
+            lambda c, k: sample_ancestral(
+                lambda xi, ti: fastddpm_int8_apply(
+                    q, xi, ti, dtype=jnp.float32, time_dim=TDIM
+                ),
+                c, k, schedule,
+            )
+        )(cond, key))
+
+    err_step = np.sqrt(np.mean(
+        (run(quantize_fastddpm(variables, calib)) - np.asarray(ref)) ** 2
+    ))
+    err_static = np.sqrt(np.mean(
+        (run(quantize_fastddpm(variables, static_calib)) - np.asarray(ref))
+        ** 2
+    ))
+    assert np.isfinite(err_step)
+    assert err_step <= err_static * 1.05, (err_step, err_static)
