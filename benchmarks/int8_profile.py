@@ -73,6 +73,71 @@ def build_loop(batch_size: int, image_size: int, features: int):
     return loop, q, xr
 
 
+def build_diffusion_loop(batch_size: int, image_size: int,
+                         quant: str = "int8_deep"):
+    """The T=10 int8 ancestral sampler as one profileable program — the
+    sampler's own lax.scan is the loop (one iteration == one UNet
+    forward), so the same while-op bookkeeping applies."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.config import PRESETS
+    from mrisr_tpu.models.diffusion import (
+        DiffusionSchedule,
+        FastDDPMUNet,
+        sample_ancestral,
+    )
+    from mrisr_tpu.serve.quant_diffusion import (
+        DEEP_SITES,
+        calibrate_fastddpm,
+        fastddpm_int8_apply,
+        quantize_fastddpm,
+    )
+
+    mcfg = PRESETS["fastddpm"].model
+    model = FastDDPMUNet(
+        base_features=mcfg.base_features, time_dim=mcfg.time_dim,
+        dtype=jnp.bfloat16,
+    )
+    hw = image_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    schedule = DiffusionSchedule.create(
+        num_timesteps=mcfg.num_timesteps,
+        num_inference_steps=mcfg.num_inference_steps,
+        beta_schedule=mcfg.beta_schedule,
+        selection=mcfg.timestep_selection,
+    )
+    calib_cond = jax.random.normal(
+        jax.random.PRNGKey(3), (8, hw, hw, 2), jnp.float32
+    )
+    q = quantize_fastddpm(
+        variables,
+        calibrate_fastddpm(
+            variables, schedule, [calib_cond], jax.random.PRNGKey(4),
+            time_dim=mcfg.time_dim,
+        ),
+        only=DEEP_SITES if quant == "int8_deep" else None,
+    )
+
+    @jax.jit
+    def loop(q, cond):
+        out = sample_ancestral(
+            lambda xi, ti: fastddpm_int8_apply(
+                q, xi, ti, time_dim=mcfg.time_dim
+            ),
+            cond, jax.random.PRNGKey(5), schedule,
+        )
+        return jnp.sum(out.astype(jnp.float32))
+
+    cond = jax.random.normal(
+        jax.random.PRNGKey(1), (batch_size, hw, hw, 2), jnp.float32
+    )
+    return loop, q, cond
+
+
 def _parse_computations(hlo: str):
     """HLO computation name -> body text."""
     comps = {}
@@ -149,10 +214,14 @@ def _conv_flops_by_fusion(hlo: str):
     return out
 
 
-def profile(batch_size: int = 128, image_size: int = 256, features: int = 64):
+def profile(batch_size: int = 128, image_size: int = 256, features: int = 64,
+            model: str = "unet", quant: str = "int8_deep"):
     import jax
 
-    loop, q, xr = build_loop(batch_size, image_size, features)
+    if model == "fastddpm":
+        loop, q, xr = build_diffusion_loop(batch_size, image_size, quant)
+    else:
+        loop, q, xr = build_loop(batch_size, image_size, features)
     compiled = loop.lower(q, xr).compile()
     hlo = compiled.as_text()
     convs = _conv_flops_by_fusion(hlo)
@@ -190,7 +259,12 @@ def profile(batch_size: int = 128, image_size: int = 256, features: int = 64):
         tname = tnames.get((e["pid"], e["tid"]), "")
         if tname == "XLA Ops":
             if e["name"].startswith("while"):
-                loop_total_ms = e.get("dur", 0) / 1e3
+                # several while ops can appear (the diffusion sampler's
+                # PRNG path carries a small one) — the scan loop is the
+                # longest
+                loop_total_ms = max(
+                    loop_total_ms or 0.0, e.get("dur", 0) / 1e3
+                )
             else:
                 dur[e["name"]] += e.get("dur", 0)
                 n[e["name"]] += 1
@@ -227,5 +301,12 @@ if __name__ == "__main__":
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--features", type=int, default=64)
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--model", default="unet", choices=("unet", "fastddpm"),
+                   help="fastddpm profiles the int8 T=10 ancestral sampler "
+                        "(mxu_util is vs the int8 peak — the float sites of "
+                        "int8_deep read low by 2x there)")
+    p.add_argument("--quant", default="int8_deep",
+                   choices=("int8", "int8_deep"),
+                   help="fastddpm only: which conv subset runs int8")
     a = p.parse_args()
-    profile(a.batch_size, a.image_size, a.features)
+    profile(a.batch_size, a.image_size, a.features, a.model, a.quant)
