@@ -33,7 +33,8 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def bench_sampling(batch_size: int, image_size: int = 256,
-                   repeats: int = 2, quant: str = "none") -> dict:
+                   repeats: int = 2, quant: str = "none",
+                   gn_impl: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +87,11 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         )
 
         def eps_fn(x_in, t):
+            # gn_impl: 'pallas' fuses GN+SiLU+quantize into one VMEM pass
+            # at the deep sites (ops/groupnorm_pallas.py); None = the
+            # measured backend default
             return fastddpm_int8_apply(
-                qtree, x_in, t, time_dim=mcfg.time_dim
+                qtree, x_in, t, time_dim=mcfg.time_dim, gn_impl=gn_impl
             )
     else:
         variables = jax.tree.map(
@@ -137,6 +141,8 @@ def bench_sampling(batch_size: int, image_size: int = 256,
     }
     if quant != "none":
         out["quant"] = quant
+        if gn_impl is not None:
+            out["gn_impl"] = gn_impl
     if gflops_per_slice is not None:
         achieved = slices_per_sec * gflops_per_slice / 1e3
         out["gflops_per_slice"] = round(gflops_per_slice, 1)
@@ -151,11 +157,15 @@ def main():
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--quant", default="none",
                    choices=("none", "int8", "int8_deep"))
+    p.add_argument("--gn-impl", default=None, choices=("xla", "pallas"),
+                   help="int8 paths only: GroupNorm lowering (default: the "
+                        "measured backend default, serve/quant_diffusion.py)")
     args = p.parse_args()
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         try:
             print(json.dumps(
-                bench_sampling(bs, args.image_size, quant=args.quant)
+                bench_sampling(bs, args.image_size, quant=args.quant,
+                               gn_impl=args.gn_impl)
             ))
         except Exception as e:
             print(json.dumps({

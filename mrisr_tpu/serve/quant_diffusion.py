@@ -58,7 +58,7 @@ is a TPU-serving addition.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -101,13 +101,21 @@ def _time_proj(t_emb, p, dtype):
 
 
 def _forward_impl(params: Dict, x: jax.Array, t: jax.Array, dtype,
-                  conv_fn, upconv_fn, time_dim: int):
+                  conv_fn, upconv_fn, time_dim: int, act_fn=None):
     """Shared FastDDPMUNet skeleton; ``conv_fn(site_name, x, raw_sub)`` and
     ``upconv_fn(site_name, x, raw_sub)`` select float-vs-int8 execution.
+    ``act_fn(conv_site, x, norm_params, num_groups)`` produces the
+    GroupNorm+SiLU activation feeding ``conv_site`` — the hook the fused
+    Pallas GN kernel plugs into (it may hand conv_fn a pre-quantized
+    :class:`_PreQuant` instead of a float tensor).
 
     Topology mirror of models/diffusion.py:FastDDPMUNet (M11,
     `/root/reference/notebooks/FastDDPM_Training_Fixed.ipynb:cell7`).
     """
+    if act_fn is None:
+        def act_fn(site, h, p, groups):
+            return nn.silu(_gn(h, p, groups, dtype))
+
     t_emb = TimeEmbedding(time_dim, dtype=dtype).apply(
         {"params": params["time_emb"]}, t
     )
@@ -116,12 +124,10 @@ def _forward_impl(params: Dict, x: jax.Array, t: jax.Array, dtype,
         p = params[name]
         in_ch = x.shape[-1]
         feats = p["conv1"]["kernel"].shape[-1]
-        h = _gn(x, p["norm1"], max(1, in_ch // 4), dtype)
-        h = nn.silu(h)
+        h = act_fn(f"{name}/conv1", x, p["norm1"], max(1, in_ch // 4))
         h = conv_fn(f"{name}/conv1", h, p["conv1"])
         h = h + _time_proj(t_emb, p["time_fc"], dtype)
-        h = _gn(h, p["norm2"], max(1, feats // 4), dtype)
-        h = nn.silu(h)
+        h = act_fn(f"{name}/conv2", h, p["norm2"], max(1, feats // 4))
         h = conv_fn(f"{name}/conv2", h, p["conv2"])
         if "skip" in p:
             x = conv_fn(f"{name}/skip", x, p["skip"])
@@ -145,8 +151,7 @@ def _forward_impl(params: Dict, x: jax.Array, t: jax.Array, dtype,
     h = resblock("dec1", jnp.concatenate([h, e1], axis=-1))
 
     base = params["init_conv"]["kernel"].shape[-1]
-    h = _gn(h, params["final_norm"], max(1, base // 4), dtype)
-    h = nn.silu(h)
+    h = act_fn("final_conv", h, params["final_norm"], max(1, base // 4))
     h = conv_fn("final_conv", h, params["final_conv"])
     return h.astype(jnp.float32)
 
@@ -378,8 +383,34 @@ def quantize_fastddpm(variables: Dict, calib: Dict[str, float],
     return out
 
 
+class _PreQuant(NamedTuple):
+    """An activation already emitted as int8 codes (by the fused Pallas GN
+    kernel) together with the fused dequant factor its consumer conv's
+    epilogue must apply."""
+
+    q: jax.Array   # int8 codes
+    dq: jax.Array  # a_scale(step) * per-out-channel w_scale
+
+
+def _default_gn_impl() -> str:
+    """GroupNorm lowering for the int8 sampler when the caller doesn't pick.
+
+    'xla' — measured the faster END-TO-END choice on v5e despite the fused
+    Pallas kernel (ops/groupnorm_pallas.py) being 2.9x faster than the XLA
+    GN/SiLU/quantize chain in isolation: batch-128 int8 convs want their
+    operands in the batch-inner {3,0,2,1} layout, XLA's elementwise fusions
+    emit into that layout for free, and the layout-pinned custom call
+    forces full-tensor transpose copies around every fused site — measured
+    sampler throughput 85.6 (xla) vs 48.3 (pallas, all deep sites) / 53.0
+    (128² sites only) / 67.9 (<=64² sites only) slices/s.  Full analysis
+    in docs/SERVING.md; reproduce with
+    ``benchmarks/diffusion_sampling.py --quant int8_deep --gn-impl …``."""
+    return "xla"
+
+
 def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
-                        dtype=jnp.bfloat16, time_dim: int = 128):
+                        dtype=jnp.bfloat16, time_dim: int = 128,
+                        gn_impl: str | None = None):
     """int8-conv Fast-DDPM forward: (B, H, W, 3) + (B,) t -> (B, H, W, 1).
 
     Drop-in ``eps_fn`` for the samplers::
@@ -399,12 +430,21 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
     searchsorted, and ``a_scale[row]`` / ``a_scale[row] * w_scale`` feed
     the quantizer/dequantizer — scalar per-trace-step ops, noise-floor
     cost next to the convs.
+
+    ``gn_impl``: 'xla' (the measured default, :func:`_default_gn_impl`)
+    runs each GroupNorm/SiLU as XLA elementwise chains; 'pallas' fuses
+    GN + SiLU + the following conv's input quantizer into one VMEM-resident
+    pass (ops/groupnorm_pallas.py) at every eligible quantized site —
+    kernel-faster but measured end-to-end SLOWER here because it pins the
+    activation layout (see _default_gn_impl); kept opt-in for measurement.
     """
     params, sites = qtree["params"], qtree["int8"]
     ts_table = qtree.get("timesteps")
     row = None if ts_table is None else jnp.searchsorted(ts_table, t[0])
+    if gn_impl is None:
+        gn_impl = _default_gn_impl()
 
-    def qin_and_scale(h, lq):
+    def site_scale(lq):
         # jnp, not np: bundles load tables as numpy, which cannot be
         # indexed by the traced step row
         a = jnp.asarray(lq["a_scale"])
@@ -415,11 +455,11 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
                     "row in the qtree (quantize_fastddpm keeps it when the "
                     "calibration came from calibrate_fastddpm)"
                 )
-            a_t = a[row]
-            dq = a_t * lq["w_scale"]
-        else:
-            a_t = a
-            dq = lq["scale"]
+            return a[row], a[row] * lq["w_scale"]
+        return a, lq["scale"]
+
+    def qin_and_scale(h, lq):
+        a_t, dq = site_scale(lq)
         q = jnp.clip(
             jnp.round(h.astype(jnp.float32) / a_t), -127, 127
         ).astype(jnp.int8)
@@ -427,6 +467,9 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
 
     def conv_fn(name, h, sub):
         lq = sites.get(name)
+        if isinstance(h, _PreQuant):  # fused GN already emitted the codes
+            y = _conv(h.q, lq["w_int8"], preferred=jnp.int32)
+            return (y.astype(jnp.float32) * h.dq + lq["bias"]).astype(dtype)
         if lq is None:  # site not quantized (quantize_fastddpm(only=...))
             return _conv(h.astype(dtype), sub["kernel"].astype(dtype)) + sub[
                 "bias"
@@ -434,6 +477,26 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
         q, dq = qin_and_scale(h, lq)
         y = _conv(q, lq["w_int8"], preferred=jnp.int32)
         return (y.astype(jnp.float32) * dq + lq["bias"]).astype(dtype)
+
+    act_fn = None
+    if gn_impl == "pallas":
+        from mrisr_tpu.ops.groupnorm_pallas import (
+            gn_pallas_eligible,
+            groupnorm_silu_pallas,
+        )
+
+        def act_fn(site, h, p, groups):
+            lq = sites.get(site)
+            if lq is not None and gn_pallas_eligible(h.shape, groups):
+                a_t, dq = site_scale(lq)
+                q = groupnorm_silu_pallas(
+                    h, p["scale"], p["bias"], num_groups=groups,
+                    quant_scale=a_t,
+                )
+                return _PreQuant(q, dq)
+            return nn.silu(_gn(h, p, groups, dtype))
+    elif gn_impl != "xla":
+        raise ValueError(f"gn_impl must be 'xla' or 'pallas', got {gn_impl!r}")
 
     def upconv_fn(name, h, sub):
         lq = sites.get(name)
@@ -450,4 +513,5 @@ def fastddpm_int8_apply(qtree: Dict, x: jax.Array, t: jax.Array,
         )
         return (y.astype(jnp.float32) * dq + lq["bias"]).astype(dtype)
 
-    return _forward_impl(params, x, t, dtype, conv_fn, upconv_fn, time_dim)
+    return _forward_impl(params, x, t, dtype, conv_fn, upconv_fn, time_dim,
+                         act_fn=act_fn)
