@@ -285,12 +285,17 @@ def profile(batch_size: int = 128, image_size: int = 256, features: int = 64,
             row["ideal_ms"] = round(ideal_ms, 3)
             row["mxu_util"] = round(ideal_ms / (per_iter_us / 1e3), 3)
         rows.append(row)
+    # both loops run 10 forwards, so per-forward time divides by 10 — but
+    # the UNet loop processes a NEW batch per forward (10 batches of
+    # slices per loop) while the diffusion chain's 10 forwards produce ONE
+    # batch of sampled slices
+    slices_per_loop = batch_size * (10 if model == "unet" else 1)
     print(json.dumps({
         "batch_size": batch_size,
         "loop_iter_total_ms": round(loop_total_ms / 10, 2)
         if loop_total_ms else None,
         "slices_per_sec_in_trace": round(
-            batch_size * 10 / (loop_total_ms / 1e3), 1
+            slices_per_loop / (loop_total_ms / 1e3), 1
         ) if loop_total_ms else None,
         "ops": rows,
     }, indent=2))

@@ -139,7 +139,23 @@ def _training_mesh(cfg):
             )
         return None
     if explicit:
-        mesh = make_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model))
+        if cfg.mesh.data > 0:
+            # an explicit mesh smaller than the host takes the first
+            # data*model devices (mirrors the auto-shrink path below) —
+            # so the divisibility error's own advice ("shrink the mesh
+            # with --mesh-data") actually works on a big host
+            n = cfg.mesh.data * max(cfg.mesh.model, 1)
+            if n > jax.device_count():
+                raise SystemExit(
+                    f"--mesh-data/--mesh-model requests {n} devices but "
+                    f"only {jax.device_count()} are visible"
+                )
+            mesh = make_mesh(
+                MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model),
+                devices=jax.devices()[:n],
+            )
+        else:  # model-only request: data axis = all remaining devices
+            mesh = make_mesh(MeshSpec(data=-1, model=cfg.mesh.model))
         n_data = mesh.shape["data"]
         if cfg.data.batch_size % n_data != 0:
             raise SystemExit(

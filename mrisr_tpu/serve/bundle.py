@@ -156,7 +156,9 @@ def make_bundle_apply(params: Dict, meta: Dict):
             fastddpm_int8_apply,
         )
 
-        sched_arrays = params.pop("schedule")
+        # read, don't pop: the caller's loaded tree stays intact so a
+        # second make_bundle_apply on the same params works
+        sched_arrays = params["schedule"]
         schedule = DiffusionSchedule(
             betas=jnp.asarray(sched_arrays["betas"], jnp.float32),
             alphas=jnp.asarray(sched_arrays["alphas"], jnp.float32),
@@ -245,6 +247,7 @@ def export_serving_bundle(
         return _export_diffusion_bundle(
             out_path, loaded, quant=quant,
             calibration_batches=calibration_batches, image_size=image_size,
+            percentile=percentile,
         )
     if loaded.kind != "pair":
         raise ValueError(
@@ -261,6 +264,13 @@ def export_serving_bundle(
     features = int(
         loaded.variables["params"]["enc1"]["Conv_0"]["kernel"].shape[-1]
     )
+    if quant not in ("none", "int8", "int8_fused"):
+        # reject rather than silently exporting a bf16 bundle whose meta
+        # claims the requested quant mode
+        raise ValueError(
+            f"pair-model bundles support quant none/int8/int8_fused, got "
+            f"{quant!r} (int8_deep is the diffusion-sampler path)"
+        )
     if quant in ("int8", "int8_fused"):
         from mrisr_tpu.serve.quant import calibrate_unet, quantize_unet
 
@@ -294,11 +304,12 @@ def _export_diffusion_bundle(
     quant: str,
     calibration_batches,
     image_size: Tuple[int, int],
+    percentile: Optional[float] = None,
 ) -> str:
     """Fast-DDPM (M11) serving bundle: the T-step ancestral sampler as one
     artifact.  quant: 'none' (bf16), 'int8' (every conv), or 'int8_deep'
     (the <=128² DEEP_SITES subset — the only variant measured FASTER than
-    bf16, +11.7 %; docs/SERVING.md diffusion section)."""
+    bf16, +11.4 %; docs/SERVING.md diffusion section)."""
     import jax
     import jax.numpy as jnp
 
@@ -331,14 +342,15 @@ def _export_diffusion_bundle(
             raise ValueError("int8 bundles need calibration_batches")
         ranges = calibrate_fastddpm(
             variables, loaded.schedule, calibration_batches,
-            jax.random.PRNGKey(0), time_dim=time_dim,
+            jax.random.PRNGKey(0), time_dim=time_dim, percentile=percentile,
         )
         params = quantize_fastddpm(
             variables, ranges,
             only=DEEP_SITES if quant == "int8_deep" else None,
         )
         calib_desc = (
-            f"{len(calibration_batches)} cond batches, trajectory absmax"
+            f"{len(calibration_batches)} cond batches, trajectory "
+            + ("absmax" if percentile is None else f"p{percentile}")
         )
     else:
         params = {

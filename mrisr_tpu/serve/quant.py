@@ -292,6 +292,17 @@ def _default_variants() -> Tuple[str, str]:
     return ("convt", "shared")
 
 
+def _has_full_tables(qparams: Dict) -> bool:
+    """Whether the decoder's upconv/final int8 tables exist (r3
+    calibrations) — the single completeness criterion shared by
+    :func:`resolve_variants` and :func:`unet_int8_fused_apply` so what
+    bench.py reports never drifts from what the apply fn executes."""
+    return all(
+        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
+                                         "upconv1", "final")
+    )
+
+
 def resolve_variants(qparams: Dict, upconv_impl: str | None = None,
                      skip_emit: str | None = None) -> Tuple[str, str]:
     """The (upconv_impl, skip_emit) pair :func:`unet_int8_fused_apply` will
@@ -299,14 +310,10 @@ def resolve_variants(qparams: Dict, upconv_impl: str | None = None,
     callers that record/report the variants (bench.py), so a legacy
     (pre-r3) table that silently degrades a DEFAULT 'shared' to 'dual' is
     reported as what it ran, not as the default."""
-    full = all(
-        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
-                                        "upconv1", "final")
-    )
     d_impl, d_emit = _default_variants()
     return (
         upconv_impl or d_impl,
-        skip_emit or (d_emit if full else "dual"),
+        skip_emit or (d_emit if _has_full_tables(qparams) else "dual"),
     )
 
 
@@ -349,10 +356,7 @@ def unet_int8_fused_apply(qparams: Dict, x: jax.Array, dtype=jnp.bfloat16,
     Both default to :func:`_default_variants` (the measured best for the
     current backend) when None.
     """
-    full = all(
-        "w_int8" in qparams[k] for k in ("upconv4", "upconv3", "upconv2",
-                                        "upconv1", "final")
-    )
+    full = _has_full_tables(qparams)
     if upconv_impl is None or skip_emit is None:
         # a DEFAULT 'shared' silently degrades to 'dual' on legacy (pre-r3)
         # tables, which cannot express the shared emission; an EXPLICIT

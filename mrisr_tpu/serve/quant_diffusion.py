@@ -197,7 +197,8 @@ def calibrate_fastddpm(
     key: jax.Array,
     dtype=jnp.bfloat16,
     time_dim: int = 128,
-) -> Dict[str, float]:
+    percentile: float | None = None,
+) -> Dict[str, np.ndarray]:
     """Per-conv-input absmax over the REAL T-step ancestral trajectory.
 
     Runs the same chain as ``sample_ancestral`` (FIX#2 posterior-mean
@@ -218,8 +219,20 @@ def calibrate_fastddpm(
     starves the late ones — measured on the demo checkpoint, static
     scales cost −0.3 SSIM end-to-end while per-step scales are the
     standard diffusion-PTQ remedy.
+
+    ``percentile``: None records absmax (safe default); a value (e.g.
+    99.9) records that percentile of |x| per site/step, clipping the
+    activation outlier tail — A/B the end-to-end SSIM with
+    benchmarks/diffusion_int8_accuracy.py before serving either way
+    (same contract as the UNet path's ``calibrate_unet``).
     """
     params = variables["params"]
+    if percentile is None:
+        stat_fn = None  # fastddpm_float_apply's absmax default
+    else:
+        stat_fn = lambda a: jnp.percentile(  # noqa: E731
+            jnp.abs(a).astype(jnp.float32).reshape(-1), percentile
+        )
     ts = schedule.timesteps
     n_steps = schedule.num_inference_steps
     order = np.arange(n_steps - 1, -1, -1)
@@ -232,7 +245,7 @@ def calibrate_fastddpm(
         stats: Dict[str, jax.Array] = {}
         eps = fastddpm_float_apply(
             params, x_in, t_batch, dtype=dtype, time_dim=time_dim,
-            stats=stats,
+            stats=stats, stat_fn=stat_fn,
         )
         return eps, stats
 

@@ -252,6 +252,62 @@ def test_diffusion_bundle_rejects_bad_quant(diffusion_loaded, tmp_path):
         )
 
 
+def test_pair_bundle_rejects_diffusion_quant(folded, batch, tmp_path):
+    """`export-serving --model unet --quant int8_deep` must error, not
+    silently save a bf16 bundle whose meta claims int8_deep."""
+    import unittest.mock as mock
+
+    from mrisr_tpu.api import LoadedModel
+    from mrisr_tpu.models import UNet
+    from mrisr_tpu.serve.bundle import export_serving_bundle
+
+    loaded = LoadedModel(
+        name="unet", module=UNet(features=F, use_bn=False),
+        variables={"params": folded["params"]}, kind="pair",
+    )
+    with mock.patch("mrisr_tpu.api.load_model", return_value=loaded):
+        with pytest.raises(ValueError, match="int8_deep is the diffusion"):
+            export_serving_bundle(
+                str(tmp_path / "b"), "unet", quant="int8_deep",
+                calibration_batches=[batch], image_size=(HW, HW),
+            )
+
+
+def test_make_bundle_apply_does_not_mutate_params(diffusion_loaded,
+                                                  cond_batch, tmp_path):
+    """A second make_bundle_apply on the same loaded tree must work (the
+    schedule entry is read, not popped)."""
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="none",
+        calibration_batches=None, image_size=(DHW, DHW),
+    )
+    params, meta = load_bundle(path)
+    y1 = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    assert "schedule" in params
+    y2 = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_diffusion_bundle_percentile_calibration(diffusion_loaded,
+                                                 cond_batch, tmp_path):
+    """--percentile reaches the trajectory calibrator (it was silently
+    dropped for diffusion bundles before r3)."""
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), diffusion_loaded, quant="int8_deep",
+        calibration_batches=[cond_batch], image_size=(DHW, DHW),
+        percentile=99.0,
+    )
+    params, meta = load_bundle(path)
+    assert meta["calibration"].endswith("p99.0")
+    y = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    assert y.shape == (2, DHW, DHW, 1)
+    assert np.all(np.isfinite(y))
+
+
 def test_diffusion_bundle_engine_data_parallel(diffusion_loaded, cond_batch,
                                                tmp_path):
     """DP serving of a diffusion bundle on the virtual 8-device mesh ==

@@ -266,6 +266,49 @@ def test_cli_train_rejects_indivisible_batch_on_explicit_mesh(tmp_path):
         ])
 
 
+def test_cli_train_explicit_mesh_smaller_than_host(tmp_path, capsys):
+    """An explicit --mesh-data smaller than the visible device count must
+    subset devices (like the auto path) rather than die on make_mesh's
+    device-count assert — it is the remedy the indivisible-batch error
+    itself advises."""
+    from mrisr_tpu import cli
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+
+    store_dir = str(tmp_path / "store")
+    make_synthetic_store(
+        store_dir, num_patients=8, slices_per_volume=8, height=HW, width=HW
+    )
+    cli.main([
+        "train", "--preset", "unet", "--data", store_dir,
+        "--epochs", "1", "--batch-size", "4", "--image-size", str(HW),
+        "--features", "4", "--mesh-data", "2", "--backend", "device",
+        "--scan-epochs",
+        "--checkpoint-dir", str(tmp_path / "models"),
+        "--results-dir", str(tmp_path / "results"),
+    ])
+    out = capsys.readouterr().out
+    assert "training mesh: {'data': 2, 'model': 1}" in out
+    assert "best val loss" in out
+
+
+def test_cli_train_explicit_mesh_too_large_errors(tmp_path):
+    from mrisr_tpu import cli
+    from mrisr_tpu.data.synthetic import make_synthetic_store
+
+    store_dir = str(tmp_path / "store")
+    make_synthetic_store(
+        store_dir, num_patients=4, slices_per_volume=8, height=HW, width=HW
+    )
+    with pytest.raises(SystemExit, match="only 8 are visible"):
+        cli.main([
+            "train", "--preset", "unet", "--data", store_dir,
+            "--epochs", "1", "--batch-size", "16", "--image-size", str(HW),
+            "--features", "4", "--mesh-data", "16",
+            "--checkpoint-dir", str(tmp_path / "models"),
+            "--results-dir", str(tmp_path / "results"),
+        ])
+
+
 def test_cli_train_auto_shrinks_mesh_for_small_batch(tmp_path, capsys):
     """The reference presets default to batch 4; on an 8-device host the
     default mesh must shrink to 4 chips instead of erroring out."""
