@@ -34,7 +34,8 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 def bench_sampling(batch_size: int, image_size: int = 256,
                    repeats: int = 2, quant: str = "none",
-                   gn_impl: str | None = None) -> dict:
+                   gn_impl: str | None = None,
+                   num_steps: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -102,14 +103,44 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         def eps_fn(x_in, t):
             return model.apply(variables, x_in, t)
 
-    @jax.jit
-    def run(key):
-        # cond generated on device (see module docstring)
-        cond = jax.random.normal(key, (batch_size, hw, hw, 2), jnp.float32)
-        out = sample_ancestral(
-            eps_fn, cond, key, schedule, num_samples=1, combine="first"
+    if num_steps is not None and num_steps < schedule.num_inference_steps:
+        # the step-distilled serving path (serve/distill_diffusion.py):
+        # deterministic DDIM over a shrunk grid.  Throughput depends only
+        # on the scan length, so any size-num_steps subset measures the
+        # distilled student's serving cost; the top noise level is kept,
+        # matching grid_positions().
+        import numpy as np
+
+        from mrisr_tpu.serve.distill_diffusion import (
+            sample_ddim_grid,
+            subgrid_schedule,
         )
-        return jnp.sum(out.astype(jnp.float32))
+
+        n_full = schedule.num_inference_steps
+        pos = np.linspace(0, n_full - 1, num_steps).round().astype(int)
+        pos[-1] = n_full - 1
+        schedule = subgrid_schedule(schedule, pos)
+
+        @jax.jit
+        def run(key):
+            cond = jax.random.normal(
+                key, (batch_size, hw, hw, 2), jnp.float32
+            )
+            out = sample_ddim_grid(eps_fn, cond, key, schedule)
+            return jnp.sum(out.astype(jnp.float32))
+
+    else:
+
+        @jax.jit
+        def run(key):
+            # cond generated on device (see module docstring)
+            cond = jax.random.normal(
+                key, (batch_size, hw, hw, 2), jnp.float32
+            )
+            out = sample_ancestral(
+                eps_fn, cond, key, schedule, num_samples=1, combine="first"
+            )
+            return jnp.sum(out.astype(jnp.float32))
 
     compiled = run.lower(jax.random.PRNGKey(1)).compile()
     gflops_per_slice = None
@@ -134,7 +165,10 @@ def bench_sampling(batch_size: int, image_size: int = 256,
 
     slices_per_sec = batch_size / best
     out = {
-        "metric": "fastddpm_t10_sampling_slices_per_sec",
+        "metric": (
+            f"fastddpm_t{schedule.num_inference_steps}"
+            "_sampling_slices_per_sec"
+        ),
         "batch_size": batch_size,
         "value": round(slices_per_sec, 2),
         "unit": f"{image_size}x{image_size} slices/s",
@@ -160,12 +194,16 @@ def main():
     p.add_argument("--gn-impl", default=None, choices=("xla", "pallas"),
                    help="int8 paths only: GroupNorm lowering (default: the "
                         "measured backend default, serve/quant_diffusion.py)")
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="bench a step-distilled student's DDIM grid of this "
+                        "length instead of the full T=10 ancestral chain")
     args = p.parse_args()
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         try:
             print(json.dumps(
                 bench_sampling(bs, args.image_size, quant=args.quant,
-                               gn_impl=args.gn_impl)
+                               gn_impl=args.gn_impl,
+                               num_steps=args.num_steps)
             ))
         except Exception as e:
             print(json.dumps({

@@ -10,6 +10,7 @@ NHWC on TPU; the adapters are free transposes fused by XLA.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
@@ -42,10 +43,23 @@ class LoadedModel:
     variables: dict
     kind: str  # 'pair' | 'window' | 'diffusion'
     schedule: Optional[DiffusionSchedule] = None
+    # 'ddim_grid' = deterministic DDIM over schedule.timesteps (the
+    # step-distilled students, serve/distill_diffusion.py); None = the
+    # lineage's own sampler (ancestral / compressed-T DDIM)
+    sampler: Optional[str] = None
 
     def __post_init__(self):
         if self.kind == "diffusion":
-            if self.name == "fastddpm_simple":
+            if self.sampler == "ddim_grid":
+                from mrisr_tpu.serve.distill_diffusion import sample_ddim_grid
+
+                def _sample(variables, cond_nhwc, key):
+                    eps = lambda x_in, t: self.module.apply(  # noqa: E731
+                        variables, x_in, t
+                    )
+                    return sample_ddim_grid(eps, cond_nhwc, key, self.schedule)
+
+            elif self.name == "fastddpm_simple":
                 # the ModelLoader M10 lineage: compressed-T schedule, DDIM
                 # sampler, [x, cond] input order (ModelLoader.py:604-636)
                 if self.schedule is None:
@@ -132,6 +146,11 @@ def load_model(
     ``checkpoint='required'`` to get that behavior.
     """
     name = model_name.lower()
+    m = re.fullmatch(r"(.+)_steps(\d+)", name)
+    if m and m.group(1) in MODEL_REGISTRY:
+        return _load_step_distilled(
+            name, m.group(1), int(m.group(2)), models_dir, cfg, image_size
+        )
     if name not in MODEL_REGISTRY:
         raise ValueError(
             f"Unknown model: {model_name}. Choose from: {sorted(MODEL_REGISTRY)}"
@@ -205,6 +224,66 @@ def load_model(
         )
     return LoadedModel(name=name, module=module, variables=variables,
                        kind=kind, schedule=schedule)
+
+
+def _load_step_distilled(
+    name: str,
+    base: str,
+    n_steps: int,
+    models_dir: str,
+    cfg: Optional[ModelConfig],
+    image_size: Tuple[int, int],
+) -> LoadedModel:
+    """Step-distilled Fast-DDPM students (``cli distill-steps``,
+    serve/distill_diffusion.py): model name ``<base>_steps<N>`` resolves to
+    the BASE architecture's weights in ``<name>_best`` plus a
+    ``<name>_grid.json`` sidecar carrying the student's timestep grid;
+    sampling is deterministic DDIM over that grid (the distillation
+    objective), not the base lineage's ancestral chain.
+    """
+    import json as _json
+
+    if base == "fastddpm_simple":
+        raise ValueError(
+            "step-distillation targets the Fixed lineage ([pre, post, x] "
+            "input order); fastddpm_simple is not supported"
+        )
+    module, variables, kind = init_model(base, cfg, image_size=image_size)
+    if kind != "diffusion":
+        raise ValueError(f"{name}: step-distilled students must be diffusion "
+                         f"models, {base} is kind={kind!r}")
+    orbax_path = os.path.join(models_dir, f"{name}_best")
+    grid_path = os.path.join(models_dir, f"{name}_grid.json")
+    if not os.path.isdir(orbax_path) or not os.path.exists(grid_path):
+        raise FileNotFoundError(
+            f"step-distilled checkpoint needs both {orbax_path}/ and "
+            f"{grid_path} (produced by: cli distill-steps --teacher {base})"
+        )
+    variables = _load_orbax(orbax_path, variables)
+    with open(grid_path) as f:
+        sidecar = _json.load(f)
+    timesteps = sidecar["timesteps"]
+    if len(timesteps) != n_steps:
+        raise ValueError(
+            f"{grid_path} carries {len(timesteps)} timesteps but the model "
+            f"name says {n_steps}"
+        )
+    from dataclasses import replace as _dc_replace
+
+    from mrisr_tpu.config import PRESETS
+
+    mcfg = cfg or (
+        PRESETS[base].model if base in PRESETS else ModelConfig(name=base)
+    )
+    full = DiffusionSchedule.create(
+        num_timesteps=mcfg.num_timesteps,
+        num_inference_steps=mcfg.num_inference_steps,
+        beta_schedule=mcfg.beta_schedule,
+        selection=mcfg.timestep_selection,
+    )
+    schedule = _dc_replace(full, timesteps=jnp.asarray(timesteps, jnp.int32))
+    return LoadedModel(name=name, module=module, variables=variables,
+                       kind=kind, schedule=schedule, sampler="ddim_grid")
 
 
 def _load_orbax(path: str, template_variables: dict) -> dict:

@@ -20,6 +20,15 @@ import os
 import sys
 
 
+def _preset_base(name):
+    """Preset key for a model name: step-distilled students
+    ('fastddpm_steps5') resolve to their base preset's config — the
+    student shares the teacher's architecture and β tables."""
+    import re
+
+    return re.sub(r"_steps\d+$", "", name)
+
+
 def _add_common_train_args(p, data_required=True):
     p.add_argument("--data", required=data_required,
                    help="packed VolumeStore dir")
@@ -345,6 +354,110 @@ def cmd_distill(args):
     print(f"best val loss: {hist.extra.get('best_val_loss'):.4f}")
 
 
+def cmd_distill_steps(args):
+    """Progressive step-distillation of a trained Fast-DDPM checkpoint
+    (serve/distill_diffusion.py): shrink the sampler grid by --factor,
+    --rounds times (T=10 → 5 → 3 by default) — each round's student is one
+    DDIM step per `factor` teacher sub-steps.  Rounds land as
+    `<teacher>_steps<N>_best` Orbax checkpoints plus `<name>_grid.json`
+    timestep sidecars, loadable by `api.load_model("fastddpm_steps5")` /
+    `cli eval --model fastddpm_steps5` like any model; per-round eval
+    (same fixed sampling key as the teacher's) is written next to the
+    training histories."""
+    import jax
+    import jax.numpy as jnp
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.ckpt import save_checkpoint
+    from mrisr_tpu.data.pipeline import build_loader
+    from mrisr_tpu.data.volumes import VolumeStore
+    from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
+    from mrisr_tpu.models.diffusion import sample_ancestral
+    from mrisr_tpu.serve.distill_diffusion import (
+        progressive_distill,
+        sample_ddim_grid,
+    )
+
+    from mrisr_tpu.config import PRESETS
+
+    if args.teacher not in PRESETS or \
+            PRESETS[args.teacher].loss.kind != "diffusion":
+        raise SystemExit(
+            f"--teacher must be a diffusion preset, got {args.teacher!r}"
+        )
+    cfg = _build_config(args, args.teacher)
+    store = VolumeStore.open(args.data)
+    hw = cfg.data.image_size
+    loaded = load_model(
+        args.teacher, models_dir=args.teacher_dir or args.checkpoint_dir,
+        checkpoint="required", cfg=cfg.model, image_size=hw,
+    )
+    # on the TPU tunnel use --backend device: the slice bank uploads ONCE
+    # and batches are device-side gathers (host batches move at ~5.6 MB/s
+    # through the tunnel — see CLAUDE.md)
+    train_loader = build_loader(store, "train", cfg.data, kind="triplet",
+                                backend=args.backend)
+    val_loader = build_loader(store, "val", cfg.data, kind="triplet",
+                              backend=args.backend)
+
+    rounds = progressive_distill(
+        loaded.module, loaded.variables["params"], loaded.schedule,
+        train_loader, val_loader, rounds=args.rounds, factor=args.factor,
+        epochs=cfg.train.epochs, learning_rate=cfg.train.learning_rate,
+    )
+
+    def _eval(fn):
+        jfn = jax.jit(fn)
+        return evaluate_pair_model_test_set(
+            jfn, store, cfg.data, max_batches=args.max_eval_batches
+        )
+
+    results = {}
+    if not args.no_eval:
+        results["teacher"] = _eval(
+            lambda cond: sample_ancestral(
+                lambda xi, ti: loaded.module.apply(loaded.variables, xi, ti),
+                cond, jax.random.PRNGKey(0), loaded.schedule,
+            )
+        )
+        print(f"teacher ({loaded.schedule.num_inference_steps} steps): "
+              f"{json.dumps(results['teacher'])}")
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    os.makedirs(args.results_dir, exist_ok=True)
+    for params, sched, hist in rounds:
+        n = sched.num_inference_steps
+        name = f"{args.teacher}_steps{n}"
+        save_checkpoint(os.path.join(args.checkpoint_dir, f"{name}_best"),
+                        {"params": params, "batch_stats": {}})
+        with open(os.path.join(args.checkpoint_dir,
+                               f"{name}_grid.json"), "w") as f:
+            json.dump({"base": args.teacher, "factor": args.factor,
+                       "timesteps": [int(t) for t in sched.timesteps]}, f)
+        entry = {"history": hist}
+        if not args.no_eval:
+            module = loaded.module
+            entry["eval"] = _eval(
+                lambda cond, p=params, s=sched: sample_ddim_grid(
+                    lambda xi, ti: module.apply({"params": p}, xi, ti),
+                    cond, jax.random.PRNGKey(0), s,
+                )
+            )
+            for sp in ("3mm", "6mm"):
+                if sp in entry["eval"] and sp in results.get("teacher", {}):
+                    entry["ssim_delta_vs_teacher_" + sp] = round(
+                        entry["eval"][sp]["ssim_mean"]
+                        - results["teacher"][sp]["ssim_mean"], 6
+                    )
+            print(f"{name}: {json.dumps(entry['eval'])}")
+        results[name] = entry
+        print(f"saved {name}_best + {name}_grid.json")
+    out = os.path.join(args.results_dir,
+                       f"{args.teacher}_stepdistill.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"results -> {out}")
+
+
 def cmd_export_serving(args):
     """Export a trained model as a one-artifact serving bundle
     (serve/bundle.py): BN-folded + optionally int8-quantized (pair
@@ -399,7 +512,8 @@ def cmd_eval(args):
     from mrisr_tpu.data.volumes import VolumeStore
     from mrisr_tpu.eval.runner import evaluate_and_save
 
-    cfg = _build_config(args, args.model if args.model in PRESETS else "unet")
+    base = _preset_base(args.model)
+    cfg = _build_config(args, base if base in PRESETS else "unet")
     store = VolumeStore.open(args.data)
     hw = cfg.data.image_size
     model = load_model(args.model, models_dir=args.checkpoint_dir,
@@ -462,7 +576,8 @@ def cmd_predict_volume(args):
         # etc. live in each preset's ModelConfig — passing the first
         # model's cfg to all of them would sample/build wrongly
         mcfg = _build_config(
-            args, name if name in PRESETS else "unet"
+            args,
+            _preset_base(name) if _preset_base(name) in PRESETS else "unet",
         ).model
         model = load_model(name, models_dir=args.checkpoint_dir,
                            cfg=mcfg, image_size=hw,
@@ -654,7 +769,8 @@ def cmd_triplet_figure(args):
     preds = {}
     for name in args.model:
         mcfg = _build_config(
-            args, name if name in PRESETS else "unet"
+            args,
+            _preset_base(name) if _preset_base(name) in PRESETS else "unet",
         ).model  # per-model config (see cmd_predict_volume)
         model = load_model(name, models_dir=args.checkpoint_dir,
                            cfg=mcfg, image_size=hw,
@@ -750,6 +866,23 @@ def main(argv=None):
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_distill)
+
+    q = sub.add_parser("distill-steps")
+    q.add_argument("--teacher", default="fastddpm",
+                   help="trained diffusion preset checkpoint to distill")
+    q.add_argument("--teacher-dir", default=None,
+                   help="teacher checkpoint dir (default: --checkpoint-dir)")
+    q.add_argument("--factor", type=int, default=2,
+                   help="teacher sub-steps folded into one student step "
+                        "per round (grid shrinks to ceil(N/factor))")
+    q.add_argument("--rounds", type=int, default=2,
+                   help="number of grid-shrink rounds (10 -> 5 -> 3)")
+    q.add_argument("--no-eval", action="store_true",
+                   help="skip the per-round test-set eval")
+    q.add_argument("--max-eval-batches", type=int, default=None)
+    q.add_argument("--config", default=None)
+    _add_common_train_args(q)
+    q.set_defaults(fn=cmd_distill_steps)
 
     q = sub.add_parser("export-serving")
     q.add_argument("--model", default="unet")

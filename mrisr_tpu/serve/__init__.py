@@ -28,3 +28,9 @@ from mrisr_tpu.serve.quant_diffusion import (  # noqa: F401
     fastddpm_int8_apply,
     quantize_fastddpm,
 )
+from mrisr_tpu.serve.distill_diffusion import (  # noqa: F401
+    distill_sampler_round,
+    progressive_distill,
+    sample_ddim_grid,
+    subgrid_schedule,
+)
