@@ -103,12 +103,15 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         def eps_fn(x_in, t):
             return model.apply(variables, x_in, t)
 
-    if num_steps is not None and num_steps < schedule.num_inference_steps:
+    if num_steps is not None:
         # the step-distilled serving path (serve/distill_diffusion.py):
         # deterministic DDIM over a shrunk grid.  Throughput depends only
         # on the scan length, so any size-num_steps subset measures the
         # distilled student's serving cost; the top noise level is kept,
-        # matching grid_positions().
+        # matching grid_positions().  --num-steps >= the full grid clamps
+        # to the full grid but STAYS on the DDIM-grid sampler — silently
+        # switching to the ancestral chain would measure a different
+        # program than the flag requested.
         import numpy as np
 
         from mrisr_tpu.serve.distill_diffusion import (
@@ -117,6 +120,7 @@ def bench_sampling(batch_size: int, image_size: int = 256,
         )
 
         n_full = schedule.num_inference_steps
+        num_steps = min(num_steps, n_full)
         pos = np.linspace(0, n_full - 1, num_steps).round().astype(int)
         pos[-1] = n_full - 1
         schedule = subgrid_schedule(schedule, pos)

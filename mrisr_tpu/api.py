@@ -148,6 +148,17 @@ def load_model(
     name = model_name.lower()
     m = re.fullmatch(r"(.+)_steps(\d+)", name)
     if m and m.group(1) in MODEL_REGISTRY:
+        # step-distilled students always load from <models_dir>/<name>_best
+        # plus the _grid.json sidecar — an explicit `checkpoint` path has no
+        # sidecar to pair with, so honoring it silently would sample on the
+        # wrong grid; reject instead of ignoring ('required' is the default
+        # behavior here anyway: a missing checkpoint raises below)
+        if checkpoint and checkpoint != "required":
+            raise ValueError(
+                f"{model_name}: step-distilled models resolve their "
+                "checkpoint AND timestep-grid sidecar from models_dir; "
+                "pass models_dir instead of an explicit checkpoint path"
+            )
         return _load_step_distilled(
             name, m.group(1), int(m.group(2)), models_dir, cfg, image_size
         )
@@ -275,6 +286,19 @@ def _load_step_distilled(
     mcfg = cfg or (
         PRESETS[base].model if base in PRESETS else ModelConfig(name=base)
     )
+    # a corrupt sidecar must fail loudly: out-of-range t would clamp-index
+    # into alphas_cumprod and silently sample with the wrong ᾱ, and
+    # sample_ddim_grid assumes a strictly ascending grid
+    if not all(0 <= int(t) < mcfg.num_timesteps for t in timesteps):
+        raise ValueError(
+            f"{grid_path}: timesteps must lie in [0, {mcfg.num_timesteps}), "
+            f"got {timesteps}"
+        )
+    if any(b <= a for a, b in zip(timesteps, timesteps[1:])):
+        raise ValueError(
+            f"{grid_path}: timesteps must be strictly ascending, "
+            f"got {timesteps}"
+        )
     full = DiffusionSchedule.create(
         num_timesteps=mcfg.num_timesteps,
         num_inference_steps=mcfg.num_inference_steps,

@@ -50,6 +50,10 @@ def _add_common_train_args(p, data_required=True):
                         "large --patience when using it)")
     p.add_argument("--patience", type=int, default=None,
                    help="early-stopping patience override (epochs)")
+    p.add_argument("--train-seed", type=int, default=None,
+                   help="training RNG seed override (init, shuffling, "
+                        "augmentation; default: preset value 0) — rerun a "
+                        "recipe under several seeds to measure its spread")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--backend", default="host", choices=("host", "device"))
     p.add_argument("--features", type=int, default=None,
@@ -99,6 +103,8 @@ def _build_config(args, preset_name):
            if getattr(args, "lr_schedule", None) else {}),
         **({"early_stopping_patience": args.patience}
            if getattr(args, "patience", None) is not None else {}),
+        **({"seed": args.train_seed}
+           if getattr(args, "train_seed", None) is not None else {}),
     )
     model = cfg.model
     if getattr(args, "features", None):
@@ -466,7 +472,10 @@ def cmd_export_serving(args):
     from mrisr_tpu.config import PRESETS
     from mrisr_tpu.serve.bundle import export_serving_bundle
 
-    cfg = _build_config(args, args.model if args.model in PRESETS else "unet")
+    # step-distilled students ('fastddpm_steps5') resolve to their base
+    # preset's config — same architecture and β tables as the teacher
+    base = _preset_base(args.model)
+    cfg = _build_config(args, base if base in PRESETS else "unet")
     calib = None
     if args.quant != "none":
         from mrisr_tpu.data.pipeline import build_loader
@@ -604,6 +613,18 @@ def cmd_predict_volume(args):
                 f"  predicted slices only: SSIM {mp['ssim_mean']:.4f} "
                 f"PSNR {mp['psnr_mean']:.2f} MAE {mp['mae']:.4f}"
             )
+        if args.export_dicom:
+            # DICOM-in -> DICOM-out: the predicted volume as a DICOM series
+            # (the reference only ever wrote PNGs, VolumeVisualization.py)
+            from mrisr_tpu.data.export import export_volume_dicom
+
+            out_dir = export_volume_dicom(
+                res["volume_predicted"],
+                os.path.join(args.export_dicom, name),
+                patient_id=f"seed{args.seed}",
+                series_description=f"mrisr-tpu {name} predicted",
+            )
+            print(f"  DICOM series -> {out_dir}")
     if args.figure:
         if args.view == "parallel":
             path = parallel_views_figure(
@@ -928,6 +949,10 @@ def main(argv=None):
     q.add_argument("--view-index", type=int, default=None,
                    help="sagittal X / axial Z index (default: mid-volume; "
                         "reference used X=128 / Z=30)")
+    q.add_argument("--export-dicom", default=None, metavar="DIR",
+                   help="also write each model's predicted volume as a "
+                        "DICOM series under DIR/<model>/ (data/export.py) — "
+                        "closes the DICOM-in -> DICOM-out loop")
     _add_common_train_args(q)
     q.set_defaults(fn=cmd_predict_volume)
 

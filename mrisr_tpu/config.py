@@ -50,6 +50,12 @@ class DataConfig:
     vflip: bool = True
     rot90: bool = False
     rotate_degrees: float = 0.0
+    # slice value range after per-slice z-score: 'zscore' (the reference's
+    # convention, data/pipeline.py:preprocess_volume) or 'zscore_minmax11'
+    # (additionally min-max each slice to [-1, 1] — the M10 lineage's
+    # working range, whose DDIM sampler clamps to [-1, 1] every step,
+    # `/root/reference/src/ModelLoader.py:636`)
+    value_range: str = "zscore"
 
 
 @dataclass(frozen=True)
@@ -250,7 +256,12 @@ PRESETS = {
     # fastddpm_advanced_best.pth (ModelLoader.py:668).
     "fastddpm_simple": _preset(
         "fastddpm_simple",
-        data=DataConfig(batch_size=4, augment=True),
+        # value_range: the M10 sampler clamps to [-1, 1] every DDIM step
+        # (ModelLoader.py:636) — z-scored targets exceed that interval and
+        # cap achievable PSNR by construction, so this preset trains/evals
+        # on per-slice [-1, 1]-mapped data (VERDICT r3 item 5)
+        data=DataConfig(batch_size=4, augment=True,
+                        value_range="zscore_minmax11"),
         model=ModelConfig(
             name="fastddpm_simple", in_channels=3, base_features=64,
             time_dim=256, num_timesteps=1000, num_inference_steps=10,

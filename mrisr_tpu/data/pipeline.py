@@ -33,18 +33,38 @@ from mrisr_tpu.data.triplets import TripletIndex, WindowIndex
 from mrisr_tpu.data.volumes import VolumeStore
 from mrisr_tpu.ops.augment import paired_augment
 from mrisr_tpu.ops.resize import resize_bilinear
-from mrisr_tpu.ops.stats import zscore_slices
+from mrisr_tpu.ops.stats import minmax_normalize, zscore_slices
 
 
-def preprocess_volume(vol: np.ndarray, image_size: Tuple[int, int]) -> np.ndarray:
+def preprocess_volume(
+    vol: np.ndarray,
+    image_size: Tuple[int, int],
+    value_range: str = "zscore",
+) -> np.ndarray:
     """Z-score each slice at native resolution, then bilinear-resize.
 
     Order matches the reference exactly: normalize first
     (`ModelDataGenerator.py:73-75`), resize second (`:204-208`).
+
+    ``value_range='zscore_minmax11'`` additionally min-max maps each slice
+    to [-1, 1] after the resize — the M10 lineage's working range: its
+    DDIM sampler clamps every step to [-1, 1]
+    (`/root/reference/src/ModelLoader.py:636`), so z-scored targets (which
+    exceed that interval) cap the achievable PSNR by construction.  The
+    per-slice map is affine, so SSIM/PSNR in the per-sample 'minmax-each'
+    eval mode are computed on exactly the same normalized images either
+    way — no inverse transform is needed for the metric contract.
     """
     x = jnp.asarray(vol, jnp.float32)
     x = zscore_slices(x)
     x = resize_bilinear(x, image_size)
+    if value_range == "zscore_minmax11":
+        x = minmax_normalize(x) * 2.0 - 1.0
+    elif value_range != "zscore":
+        raise ValueError(
+            f"value_range must be 'zscore' or 'zscore_minmax11', "
+            f"got {value_range!r}"
+        )
     return np.asarray(x)
 
 
@@ -64,10 +84,12 @@ class SliceBank:
         image_size: Tuple[int, int] = (256, 256),
         backend: str = "host",
         device_dtype=jnp.bfloat16,
+        value_range: str = "zscore",
     ):
         self.series_idx = list(series_idx)
         self.image_size = image_size
         self.backend = backend
+        self.value_range = value_range
         self.counts = store.slice_counts(self.series_idx)
         self.offsets = np.concatenate(
             [[0], np.cumsum(self.counts)]
@@ -78,7 +100,7 @@ class SliceBank:
         for j, sidx in enumerate(self.series_idx):
             vol = store.load_series(sidx, mmap=True)
             flat[self.offsets[j] : self.offsets[j + 1]] = preprocess_volume(
-                np.asarray(vol), image_size
+                np.asarray(vol), image_size, value_range=value_range
             )
         if backend == "device":
             self.flat = jax.device_put(jnp.asarray(flat, device_dtype))
@@ -377,7 +399,8 @@ def build_loader(
         if shard_by_host:
             patients = host_shard_patients(patients)
         series_idx = store.series_for_patients(patients)
-        bank = SliceBank(store, series_idx, cfg.image_size, backend=backend)
+        bank = SliceBank(store, series_idx, cfg.image_size, backend=backend,
+                         value_range=cfg.value_range)
     aug = _AugmentSpec(
         enabled=cfg.augment and split == "train",
         hflip=cfg.hflip,

@@ -45,4 +45,13 @@ class PatchGAN(nn.Module):
             x = nn.leaky_relu(x, 0.2)
 
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad, dtype=self.dtype)(x)
+        if 0 in x.shape[1:3]:
+            # shapes are static under jit, so this is a trace-time check:
+            # a too-small input yields an EMPTY patch map, and the LSGAN
+            # losses' mean over zero elements is a silent NaN
+            raise ValueError(
+                f"PatchGAN patch map is empty ({x.shape}) — input "
+                "image_size is too small for the 70x70 receptive field "
+                "(needs >= 32 pixels per side)"
+            )
         return x.astype(jnp.float32)

@@ -190,6 +190,18 @@ def make_bundle_apply(params: Dict, meta: Dict):
                     time_dim=time_dim,
                 )
 
+        if meta.get("sampler") == "ddim_grid":
+            # step-distilled students (serve/distill_diffusion.py) were
+            # trained to reproduce the teacher under THIS deterministic
+            # sampler — the ancestral chain would add noise the student's
+            # one-step-per-grid-point objective never saw
+            from mrisr_tpu.serve.distill_diffusion import sample_ddim_grid
+
+            return jax.jit(
+                lambda cond: sample_ddim_grid(
+                    eps_fn, cond, jax.random.PRNGKey(0), schedule
+                )
+            )
         return jax.jit(
             lambda cond: sample_ancestral(
                 eps_fn, cond, jax.random.PRNGKey(0), schedule,
@@ -337,12 +349,14 @@ def _export_diffusion_bundle(
     time_dim = int(
         variables["params"]["time_emb"]["Dense_1"]["kernel"].shape[-1]
     )
+    sampler = loaded.sampler or "ancestral"
     if quant in ("int8", "int8_deep"):
         if not calibration_batches:
             raise ValueError("int8 bundles need calibration_batches")
         ranges = calibrate_fastddpm(
             variables, loaded.schedule, calibration_batches,
             jax.random.PRNGKey(0), time_dim=time_dim, percentile=percentile,
+            sampler=sampler,
         )
         params = quantize_fastddpm(
             variables, ranges,
@@ -377,7 +391,7 @@ def _export_diffusion_bundle(
         base_features=base_ch, image_size=image_size,
         calibration=calib_desc,
         extra={"kind": "diffusion", "time_dim": time_dim,
-               "combine": "first"},
+               "combine": "first", "sampler": sampler},
     )
 
 

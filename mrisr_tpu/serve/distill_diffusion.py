@@ -294,8 +294,10 @@ def distill_sampler_round(
     Student = same ``module``, initialized FROM the teacher weights (the
     paper's recipe — the student starts as a working N-step sampler and
     only has to learn to skip).  Returns (student_params, student_schedule,
-    history); the student is a drop-in Fast-DDPM checkpoint that samples
-    with ``sample_ddim_grid(…, student_schedule)``.
+    history); the returned params are the BEST-val-loss epoch's when a
+    ``val_loader`` is given (matching every other trainer's ``_best``
+    semantics), else the final epoch's.  The student is a drop-in Fast-DDPM
+    checkpoint that samples with ``sample_ddim_grid(…, student_schedule)``.
     """
     teacher_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -325,6 +327,11 @@ def distill_sampler_round(
 
     key = jax.random.PRNGKey(seed)
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+    # best-val selection, matching every other trainer's `_best` semantics:
+    # the snapshot must be a COPY because the donated train step consumes
+    # the live state's buffers on the next epoch
+    best_val = float("inf")
+    best_params: Optional[Dict] = None
     for epoch in range(epochs):
         losses = []
         for batch in train_loader:
@@ -340,7 +347,11 @@ def distill_sampler_round(
                 ]
                 for vb in val_loader
             ]
-            history["val_loss"].append(float(jnp.mean(jnp.stack(vlosses))))
+            val_loss = float(jnp.mean(jnp.stack(vlosses)))
+            history["val_loss"].append(val_loss)
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.tree.map(jnp.array, state.params)
         if verbose:
             vmsg = (
                 f" val {history['val_loss'][-1]:.5f}"
@@ -354,7 +365,8 @@ def distill_sampler_round(
             )
 
     spos = grid_positions(int(schedule.timesteps.shape[0]), factor)
-    return state.params, subgrid_schedule(schedule, spos), history
+    params = best_params if best_params is not None else state.params
+    return params, subgrid_schedule(schedule, spos), history
 
 
 def progressive_distill(

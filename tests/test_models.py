@@ -106,6 +106,18 @@ def test_patchgan_shape():
     assert y.shape == (2, 30, 30, 1)
 
 
+def test_patchgan_rejects_too_small_input():
+    """A <32 px input collapses the patch map to zero size — the LSGAN
+    losses' mean over it would be a silent NaN, so the module raises at
+    trace time instead."""
+    import pytest
+
+    model = PatchGAN()
+    x = jnp.zeros((2, 16, 16, 3))
+    with pytest.raises(ValueError, match="empty"):
+        _init(model, x, train=False)
+
+
 def test_registry_init_all():
     for name in ("unet", "deepcnn", "progressive_unet", "unet_gan",
                  "fastddpm", "fastddpm_simple"):

@@ -61,6 +61,32 @@ def test_preprocess_volume_order(store):
     assert abs(out[0].mean()) < 0.2
 
 
+def test_preprocess_value_range_minmax11(store):
+    """value_range='zscore_minmax11' (the fastddpm_simple preset, whose M10
+    sampler clamps to [-1, 1] — ModelLoader.py:636): every slice spans
+    exactly [-1, 1]; the default stays plain z-score."""
+    vol = np.asarray(store.load_series(0))
+    out = preprocess_volume(vol, (32, 32), value_range="zscore_minmax11")
+    assert out.shape == (12, 32, 32)
+    np.testing.assert_allclose(out.min(axis=(1, 2)), -1.0, atol=1e-5)
+    np.testing.assert_allclose(out.max(axis=(1, 2)), 1.0, atol=1e-5)
+    # affine per slice w.r.t. the default path (same structure, new range)
+    base = preprocess_volume(vol, (32, 32))
+    c = np.corrcoef(base[0].ravel(), out[0].ravel())[0, 1]
+    assert c > 0.99999
+    with pytest.raises(ValueError, match="value_range"):
+        preprocess_volume(vol, (32, 32), value_range="bogus")
+
+
+def test_build_loader_value_range(store):
+    """DataConfig.value_range flows through build_loader into the bank."""
+    cfg = DataConfig(batch_size=4, image_size=(32, 32),
+                     value_range="zscore_minmax11", prefetch=0)
+    loader = build_loader(store, "train", cfg)
+    b = np.asarray(next(iter(loader)))
+    assert b.min() >= -1.0 - 1e-5 and b.max() <= 1.0 + 1e-5
+
+
 def test_triplet_loader_batches(store):
     bank = SliceBank(store, list(range(len(store))), image_size=(64, 64))
     loader = TripletLoader(bank, None, batch_size=8, shuffle=True, seed=1)
