@@ -28,6 +28,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--models", required=True)
+    p.add_argument("--model", default="fastddpm",
+                   help="'fastddpm' or a step-distilled 'fastddpm_steps<N>' "
+                        "(measured under ITS DDIM-grid sampler + trajectory "
+                        "calibration)")
     p.add_argument("--out", default=None)
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=16)
@@ -42,6 +46,7 @@ def main():
     from mrisr_tpu.data.volumes import VolumeStore
     from mrisr_tpu.eval.runner import evaluate_pair_model_test_set
     from mrisr_tpu.models.diffusion import sample_ancestral
+    from mrisr_tpu.serve.distill_diffusion import sample_ddim_grid
     from mrisr_tpu.serve.quant_diffusion import (
         DEEP_SITES,
         calibrate_fastddpm,
@@ -56,12 +61,13 @@ def main():
     time_dim = PRESETS["fastddpm"].model.time_dim
 
     loaded = load_model(
-        "fastddpm", models_dir=args.models, checkpoint="required"
+        args.model, models_dir=args.models, checkpoint="required"
     )
     variables, schedule = loaded.variables, loaded.schedule
+    sampler_kind = loaded.sampler or "ancestral"
 
     # calibrate activation ranges over the real sampling trajectory on a
-    # few val conditioning batches
+    # few val conditioning batches (the model's OWN sampler's trajectory)
     val_loader = build_loader(store, "val", data_cfg)
     calib = []
     for i, batch in enumerate(val_loader):
@@ -69,7 +75,8 @@ def main():
             break
         calib.append(batch[..., :2])
     ranges = calibrate_fastddpm(
-        variables, schedule, calib, jax.random.PRNGKey(0), time_dim=time_dim
+        variables, schedule, calib, jax.random.PRNGKey(0), time_dim=time_dim,
+        sampler=sampler_kind,
     )
     qtree = quantize_fastddpm(variables, ranges)
     qtree_deep = quantize_fastddpm(variables, ranges, only=DEEP_SITES)
@@ -84,6 +91,12 @@ def main():
         # fixed key per call == the cli-eval convention (api.py
         # LoadedModel.predict_nhwc); identical keys for both variants so
         # the delta isolates quantization, not noise draws
+        if sampler_kind == "ddim_grid":
+            return jax.jit(
+                lambda cond: sample_ddim_grid(
+                    eps_fn, cond, jax.random.PRNGKey(0), schedule
+                )
+            )
         return jax.jit(
             lambda cond: sample_ancestral(
                 eps_fn, cond, jax.random.PRNGKey(0), schedule

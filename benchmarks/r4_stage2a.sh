@@ -18,6 +18,11 @@ done
 python benchmarks/diffusion_sampling.py --batch-sizes 128 | tee -a $OUT
 python benchmarks/diffusion_sampling.py --batch-sizes 128 --quant int8_deep | tee -a $OUT
 
+echo "=== fastddpm_steps5 int8_deep accuracy (same keys, DDIM-grid) ==="
+python benchmarks/diffusion_int8_accuracy.py --data $D/store \
+  --models $D/models --model fastddpm_steps5 \
+  --out $D/results/steps5_int8_accuracy.json
+
 echo "=== fastddpm_steps5 serving bundle (int8_deep) ==="
 python -m mrisr_tpu.cli export-serving --model fastddpm_steps5 \
   --data $D/store --quant int8_deep --calib-batches 2 \
