@@ -317,6 +317,8 @@ def cmd_distill(args):
         loss_over["distill_alpha"] = args.distill_alpha
     if args.distill_lambda_ssim is not None:
         loss_over["distill_lambda_ssim"] = args.distill_lambda_ssim
+    if args.ema is not None:
+        loss_over["distill_ema"] = args.ema
     if loss_over:
         cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, **loss_over))
@@ -883,6 +885,10 @@ def main(argv=None):
                    help="weight of an added (1 - SSIM(student, teacher)) "
                         "term — optimizes the eval metric directly "
                         "(default 0 = MSE-only, the r2 objective)")
+    q.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                   help="Polyak/EMA-average the student params per step "
+                        "(e.g. 0.999); eval + the _best checkpoint use the "
+                        "averaged weights — kills bf16 rerun spread")
     q.add_argument("--config", default=None)
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)

@@ -107,6 +107,11 @@ class LossConfig:
     # directly (0.0 = off, the r2 behavior)
     distill_alpha: float = 0.5
     distill_lambda_ssim: float = 0.0
+    # Polyak/EMA averaging of the student params (0.0 = off): per-step
+    # ema = d*ema + (1-d)*params inside the fused train step; eval + the
+    # `_best` checkpoint use the EMA weights (kills the measured ±0.004
+    # SSIM bf16 rerun spread by averaging the parameter trajectory)
+    distill_ema: float = 0.0
 
 
 @dataclass(frozen=True)

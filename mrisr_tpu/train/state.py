@@ -17,9 +17,16 @@ from mrisr_tpu.config import TrainConfig
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + BatchNorm running statistics."""
+    """flax TrainState + BatchNorm running statistics.
+
+    ``ema_params`` (optional, default None) is an exponential moving average
+    of ``params`` maintained by steps that opt in (serve/distill.py's
+    ``ema_decay``); it rides the same pytree, so the device-resident
+    lax.scan epoch runner and mesh replication carry it with no extra code.
+    """
 
     batch_stats: Any = None
+    ema_params: Any = None
 
 
 def make_optimizer(

@@ -49,6 +49,7 @@ def _mean_teacher(x):
     return (x[..., 0:1] + x[..., 1:2]) / 2.0
 
 
+@pytest.mark.slow
 def test_distill_training_decreases_loss(store, tmp_path):
     cfg = _cfg(tmp_path)
     trainer = DistillationTrainer(cfg, teacher_fn=_mean_teacher, image_size=HW)
@@ -121,6 +122,103 @@ def test_distill_alpha_weights_components():
         np.testing.assert_allclose(
             float(m["loss"]), float(expect), rtol=1e-6
         )
+
+
+def test_distill_ema_matches_analytic_average():
+    """ema_decay maintains state.ema_params = d*ema + (1-d)*params per step
+    (exactly, tracked against a numpy replay of the parameter trajectory),
+    and the eval step scores the EMA weights, not the live ones."""
+    from mrisr_tpu.config import ModelConfig, TrainConfig
+    from mrisr_tpu.models.registry import init_model
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+
+    model, variables, _ = init_model(
+        "unet", ModelConfig(name="unet", base_features=4), image_size=HW
+    )
+    state = create_train_state(model, variables, make_optimizer(TrainConfig()))
+    state = state.replace(ema_params=state.params)
+
+    d = 0.9
+    train_step, eval_step = make_distill_steps(
+        _mean_teacher, alpha=1.0, ema_decay=d, donate=False
+    )
+    rng = np.random.default_rng(0)
+    expect_ema = jax.tree.map(np.asarray, state.params)
+    for i in range(3):
+        batch = jnp.asarray(rng.standard_normal((2, *HW, 3)), jnp.float32)
+        state, _ = train_step(state, batch)
+        expect_ema = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            expect_ema, state.params,
+        )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(expect_ema),
+    ):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    # eval scores the EMA weights: plant distinct params in the two slots
+    # and check the metrics equal a no-EMA eval of the planted EMA weights
+    other = init_model(
+        "unet", ModelConfig(name="unet", base_features=4),
+        image_size=HW, seed=7,
+    )[1]["params"]
+    planted = state.replace(ema_params=other)
+    _, eval_plain = make_distill_steps(_mean_teacher, alpha=1.0, donate=False)
+    batch = jnp.asarray(rng.standard_normal((2, *HW, 3)), jnp.float32)
+    m_ema = eval_step(planted, batch)
+    m_ref = eval_plain(planted.replace(params=other), batch)
+    np.testing.assert_allclose(
+        float(m_ema["loss"]), float(m_ref["loss"]), rtol=1e-6
+    )
+
+
+def test_distill_ema_best_checkpoint_ships_averaged_weights(store, tmp_path):
+    """With --ema, the `_best` checkpoint's `params` slot holds the EMA
+    weights (what api.load_model serves), `live_params` the raw ones, and a
+    resume restores both exactly."""
+    import dataclasses as dc
+
+    cfg = _cfg(tmp_path)
+    cfg = dc.replace(
+        cfg,
+        loss=dc.replace(cfg.loss, distill_alpha=1.0, distill_ema=0.95),
+        train=dc.replace(cfg.train, epochs=1),
+    )
+    trainer = DistillationTrainer(cfg, teacher_fn=_mean_teacher, image_size=HW)
+    train_loader = build_loader(store, "train", cfg.data)
+    trainer.fit(train_loader, None, verbose=False)
+
+    # one epoch: _best was written from the final state
+    ema = jax.tree_util.tree_leaves(trainer.state.ema_params)
+    live = jax.tree_util.tree_leaves(trainer.state.params)
+    assert any(
+        not np.allclose(np.asarray(e), np.asarray(p))
+        for e, p in zip(ema, live)
+    ), "EMA should lag the live weights after training"
+
+    from mrisr_tpu.api import load_model
+
+    loaded = load_model(
+        "unet_distilled", models_dir=cfg.train.checkpoint_dir,
+        cfg=cfg.model, image_size=HW, checkpoint="required",
+    )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(loaded.variables["params"]), ema
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # resume: both trees restored exactly
+    fresh = DistillationTrainer(cfg, teacher_fn=_mean_teacher, image_size=HW)
+    fresh.load(os.path.join(cfg.train.checkpoint_dir, "unet_distilled_latest"))
+    for got, want in zip(
+        jax.tree_util.tree_leaves(fresh.state.ema_params), ema
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(
+        jax.tree_util.tree_leaves(fresh.state.params), live
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_distill_lambda_ssim_term():
