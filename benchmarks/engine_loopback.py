@@ -118,8 +118,11 @@ def bench_engine(batch_size: int, image_size: int, requests: int,
         loopback_apply, batch_size=batch_size,
         input_shape=(image_size, image_size, 2), max_delay_ms=2.0,
     ) as eng:
-        # warm: one full batch through the engine (compiles the forward)
+        # warm: one full batch through the engine (compiles the forward),
+        # then zero the counters so compile time stays out of the
+        # steady-state stats
         _ = eng.predict_many([req] * batch_size)
+        eng.reset_stats()
         t0 = time.perf_counter()
         futures = [eng.submit(req) for _ in range(requests)]
         for f in futures:
@@ -127,11 +130,15 @@ def bench_engine(batch_size: int, image_size: int, requests: int,
         wall = time.perf_counter() - t0
         stats = eng.stats
 
+    per_batch = max(stats.batches, 1)
     return {
         "engine_slices_per_sec": round(requests / wall, 2),
         "engine_internal_slices_per_sec": round(stats.slices_per_sec, 2),
         "occupancy": round(stats.occupancy, 4),
         "batches": stats.batches,
+        "assemble_ms_per_batch": round(
+            stats.assemble_time_s / per_batch * 1e3, 2),
+        "fetch_ms_per_batch": round(stats.fetch_time_s / per_batch * 1e3, 2),
         "wall_s": round(wall, 3),
     }
 

@@ -37,12 +37,22 @@ import numpy as np
 
 @dataclass
 class EngineStats:
-    """Cumulative serving counters (read with `Engine.stats`)."""
+    """Cumulative serving counters (read with `Engine.stats`).
+
+    ``total_batch_time_s`` includes the FIRST dispatch's XLA compile;
+    call ``engine.reset_stats()`` after a warm-up batch when measuring
+    steady-state throughput.  ``assemble_time_s`` / ``fetch_time_s`` break
+    the host-side overhead into batch assembly (queue drain + row copies
+    into the ping-pong buffer) and device-result fetch (the sync point) so
+    a serving regression can be localized without a profiler.
+    """
 
     requests: int = 0
     batches: int = 0
     padded_slots: int = 0
     total_batch_time_s: float = 0.0
+    assemble_time_s: float = 0.0
+    fetch_time_s: float = 0.0
 
     @property
     def occupancy(self) -> float:
@@ -91,8 +101,25 @@ class InferenceEngine:
         self._closed = False
         self._close_lock = threading.Lock()
         self._busy_until = 0.0  # end of the last accounted busy interval
+        # ping-pong host batch buffers: rows are copied in as requests are
+        # collected, so dispatch hands XLA one contiguous array with NO
+        # per-batch 67 MB allocation (np.stack alloc + page-fault churn
+        # measured ~10 ms/batch at 128x256x256x2).  Two buffers because
+        # double buffering keeps one batch in flight while the next is
+        # assembled.
+        self._buffers = [
+            np.empty((self.batch_size, *self.input_shape), np.float32)
+            for _ in range(2)
+        ]
+        self._buf_idx = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def reset_stats(self) -> None:
+        """Zero the counters (e.g. after a warm-up batch, so compile time
+        does not pollute steady-state ``stats.slices_per_sec``)."""
+        self.stats = EngineStats()
+        self._busy_until = 0.0
 
     # ------------------------------------------------------------ client
     def submit(self, x: np.ndarray) -> Future:
@@ -136,12 +163,18 @@ class InferenceEngine:
         self.close()
 
     # --------------------------------------------------------- dispatcher
-    def _collect(self) -> Optional[List[_Pending]]:
+    def _collect(self, buf: np.ndarray) -> Optional[List[_Pending]]:
         """Block for the first request, then drain up to batch_size within
-        max_delay."""
+        max_delay, copying each request row straight into ``buf`` (the
+        assembly memcpy overlaps queue waits instead of bursting at
+        dispatch)."""
         first = self._queue.get()
         if first is None:
             return None
+        # assembly clock starts at the first request: the blocking wait
+        # above is idle time, not assembly overhead
+        t_asm = time.perf_counter()
+        buf[0] = first.x
         batch = [first]
         deadline = time.monotonic() + self.max_delay_s
         while len(batch) < self.batch_size:
@@ -157,7 +190,9 @@ class InferenceEngine:
             if nxt is None:  # close sentinel: put it back for the loop
                 self._queue.put(None)
                 break
+            buf[len(batch)] = nxt.x
             batch.append(nxt)
+        self.stats.assemble_time_s += time.perf_counter() - t_asm
         return batch
 
     @staticmethod
@@ -176,12 +211,14 @@ class InferenceEngine:
     def _resolve(self, pending) -> None:
         """Fetch a dispatched batch's device result and resolve futures."""
         dev_out, batch, t0 = pending
+        t_fetch = time.perf_counter()
         try:
             out = np.asarray(dev_out)  # host fetch = the device sync
         except Exception as e:
             for p in batch:
                 self._set(p.future, exception=e)
             return
+        self.stats.fetch_time_s += time.perf_counter() - t_fetch
         now = time.perf_counter()
         n = len(batch)
         self.stats.requests += n
@@ -209,25 +246,31 @@ class InferenceEngine:
                 self._resolve(pending)
                 pending = None
                 continue
-            batch = self._collect()
+            xs = self._buffers[self._buf_idx]
+            batch = self._collect(xs)
             if batch is None:
                 if pending is not None:
                     self._resolve(pending)
                 return
             n = len(batch)
-            xs = np.stack([p.x for p in batch])
             if n < self.batch_size:
                 # wrap-pad to the static batch so the compiled program is
                 # reused (padding repeats real rows; results are discarded)
-                reps = -(-self.batch_size // n)
-                xs = np.tile(xs, (reps, 1, 1, 1))[: self.batch_size]
+                t_pad = time.perf_counter()
+                for i in range(n, self.batch_size):
+                    xs[i] = xs[i % n]
+                self.stats.assemble_time_s += time.perf_counter() - t_pad
             t0 = time.perf_counter()
             try:
                 dev_out = self._apply(xs)  # async dispatch, no sync here
             except Exception as e:  # resolve, don't kill the dispatcher
                 for p in batch:
                     self._set(p.future, exception=e)
-                continue
+                continue  # buffer not in flight (dispatch failed): reuse it
+            # flip only after a successful dispatch: the other buffer's
+            # batch (pending) resolves before that buffer is reused, so an
+            # in-flight input is never overwritten
+            self._buf_idx ^= 1
             if pending is not None:
                 self._resolve(pending)
             pending = (dev_out, batch, t0)
