@@ -36,6 +36,7 @@ def batch():
     return jax.random.normal(jax.random.PRNGKey(7), (2, HW, HW, 2))
 
 
+@pytest.mark.slow
 def test_int8_bundle_roundtrip(folded, batch, tmp_path):
     q = quantize_unet(folded, calibrate_unet(folded, [batch]))
     y_direct = np.asarray(jax.jit(unet_int8_fused_apply)(q, batch))
@@ -94,6 +95,7 @@ def test_engine_from_bundle(folded, batch, tmp_path):
     assert np.all(np.isfinite(y))
 
 
+@pytest.mark.slow
 def test_export_serving_cli(tmp_path):
     """End-to-end through the CLI against a tiny fresh-ish checkpoint."""
     from mrisr_tpu.data.synthetic import make_synthetic_store
@@ -155,6 +157,7 @@ def cond_batch():
     return jax.random.normal(jax.random.PRNGKey(9), (2, DHW, DHW, 2))
 
 
+@pytest.mark.slow
 def test_diffusion_bundle_bf16_roundtrip(diffusion_loaded, cond_batch,
                                          tmp_path):
     from mrisr_tpu.models.diffusion import sample_ancestral
@@ -298,6 +301,7 @@ def test_stepdistilled_bundle_uses_ddim_grid(stepdistilled_loaded,
     assert rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_stepdistilled_bundle_int8_deep_engine(stepdistilled_loaded,
                                                cond_batch, tmp_path):
     """int8_deep student bundle: calibration runs the DDIM-grid trajectory
@@ -365,6 +369,7 @@ def test_pair_bundle_rejects_diffusion_quant(folded, batch, tmp_path):
             )
 
 
+@pytest.mark.slow
 def test_make_bundle_apply_does_not_mutate_params(diffusion_loaded,
                                                   cond_batch, tmp_path):
     """A second make_bundle_apply on the same loaded tree must work (the
@@ -382,6 +387,7 @@ def test_make_bundle_apply_does_not_mutate_params(diffusion_loaded,
     np.testing.assert_array_equal(y1, y2)
 
 
+@pytest.mark.slow
 def test_diffusion_bundle_percentile_calibration(diffusion_loaded,
                                                  cond_batch, tmp_path):
     """--percentile reaches the trajectory calibrator (it was silently

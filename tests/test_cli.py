@@ -146,6 +146,7 @@ def test_cli_train_scan_epochs(tmp_path, capsys):
     assert h["train_loss"][1] < h["train_loss"][0]
 
 
+@pytest.mark.slow
 def test_cli_compare_table(tmp_path, capsys):
     from mrisr_tpu import cli
 
@@ -198,6 +199,7 @@ def test_cli_compare_from_results(tmp_path, capsys):
     assert os.path.exists(str(res / "comparison_metrics.csv"))
 
 
+@pytest.mark.slow
 def test_cli_eval_fastddpm_sampling(tmp_path, capsys):
     """Diffusion eval through the CLI: sampling-based metrics per spacing."""
     from mrisr_tpu import cli
@@ -231,6 +233,7 @@ def test_config_json_roundtrip():
         assert cfg == PRESETS[name]
 
 
+@pytest.mark.slow
 def test_cli_train_fastddpm_scan_epochs(tmp_path, capsys):
     from mrisr_tpu import cli
 

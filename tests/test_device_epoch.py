@@ -31,6 +31,7 @@ def setup(tmp_path_factory):
     return bank, loader
 
 
+@pytest.mark.slow
 def test_scan_epoch_trains(setup):
     bank, loader = setup
     model = UNet(features=8)
@@ -90,6 +91,7 @@ def test_scan_epoch_shuffles_between_epochs(setup):
     assert l1 != l2
 
 
+@pytest.mark.slow
 def test_scan_epoch_diffusion(setup):
     """Keyed-step variant: diffusion training inside one lax.scan."""
     import dataclasses
@@ -116,6 +118,7 @@ def test_scan_epoch_diffusion(setup):
     assert losses[1] < losses[0]
 
 
+@pytest.mark.slow
 def test_scan_epoch_window_progressive(setup):
     """Window-kind (5-slice) variant: Progressive UNet inside one lax.scan
     (r1 verdict item 3 — the 93M model previously paid per-batch dispatch)."""
@@ -146,6 +149,7 @@ def test_scan_epoch_window_progressive(setup):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_scan_epoch_gan(setup):
     """Two-state carry (G, D): GAN training inside one lax.scan, plus the
     convergence smoke the r1 verdict asked for (weak item 5) — the G's

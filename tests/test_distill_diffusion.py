@@ -48,6 +48,7 @@ def test_grid_positions():
             assert len(pos) == -(-n // f)  # ceil
 
 
+@pytest.mark.slow
 def test_subgrid_schedule_keeps_tables():
     _, _, schedule = tiny_model_and_schedule(6)
     sub = subgrid_schedule(schedule, grid_positions(6, 2))
@@ -134,6 +135,7 @@ def test_sample_ddim_grid_single_step_is_x0_prediction():
     )
 
 
+@pytest.mark.slow
 def test_distill_round_trains_and_halves_grid():
     model, params, schedule = tiny_model_and_schedule(6)
     rng = np.random.default_rng(0)
@@ -196,6 +198,7 @@ def test_load_model_steps_pattern_roundtrip(tmp_path):
                    image_size=(16, 16))
 
 
+@pytest.mark.slow
 def test_load_model_steps_rejects_non_diffusion(tmp_path):
     from mrisr_tpu.api import load_model
 
@@ -273,6 +276,7 @@ def test_distill_round_returns_best_val_params():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_progressive_distill_chains_rounds():
     model, params, schedule = tiny_model_and_schedule(6)
     rng = np.random.default_rng(1)

@@ -140,6 +140,7 @@ def test_tensor_parallel_shardings():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_driver_dryrun_multichip():
     import importlib.util
     import os
@@ -205,6 +206,7 @@ def _fit_unet_scan_epoch(store_dir, ckpt_dir, results_dir, mesh):
     return hist.series["train_loss"][-1]
 
 
+@pytest.mark.slow
 def test_fit_dp_scan_epoch_matches_single_device(tmp_path):
     """End-to-end fit() parity: a data-parallel scan-epoch on the 8-device
     mesh must reproduce the single-device epoch loss (same seeds -> same
@@ -228,6 +230,7 @@ def test_fit_dp_scan_epoch_matches_single_device(tmp_path):
     assert loss_dp == pytest.approx(loss_single, rel=2e-3)
 
 
+@pytest.mark.slow
 def test_cli_train_uses_mesh(tmp_path, capsys):
     """`cli train --scan-epochs` on a multi-device host must construct the
     mesh from MeshConfig and train data-parallel (no flag needed)."""
@@ -268,6 +271,7 @@ def test_cli_train_rejects_indivisible_batch_on_explicit_mesh(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_cli_train_explicit_mesh_smaller_than_host(tmp_path, capsys):
     """An explicit --mesh-data smaller than the visible device count must
     subset devices (like the auto path) rather than die on make_mesh's
@@ -311,6 +315,7 @@ def test_cli_train_explicit_mesh_too_large_errors(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_cli_train_auto_shrinks_mesh_for_small_batch(tmp_path, capsys):
     """The reference presets default to batch 4; on an 8-device host the
     default mesh must shrink to 4 chips instead of erroring out."""
@@ -489,6 +494,7 @@ def test_shard_map_collective_wrappers():
     np.testing.assert_allclose(np.asarray(g[:16]), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_dp_gan_step_matches_single_device():
     """The GAN train step (two optimizers, alternating D/G updates,
     train/steps.py:make_gan_steps) under DP sharding: losses of BOTH
@@ -562,6 +568,7 @@ def test_dp_gan_step_matches_single_device():
         assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_progressive_step_matches_single_device():
     """The progressive train step (3-output weighted loss,
     train/steps.py:make_progressive_steps) under DP sharding: total and
@@ -622,6 +629,7 @@ def test_dp_progressive_step_matches_single_device():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_diffusion_step_matches_single_device():
     """The diffusion train step (antithetic t sampling + noise injection,
     train/steps.py:make_diffusion_steps) under DP sharding: with the key

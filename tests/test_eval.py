@@ -216,6 +216,7 @@ def test_predicted_only_metrics_finite(volume):
     assert np.isfinite(res["metrics_predicted_only"]["psnr_mean"])
 
 
+@pytest.mark.slow
 def test_load_model_gan_orbax_checkpoint(tmp_path):
     """load_model must read GANTrainer's {generator, discriminator} Orbax
     layout (eval of a trained GAN failed with KeyError 'params' in the r2

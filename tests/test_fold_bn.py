@@ -38,6 +38,7 @@ def test_folded_unet_matches_eval_forward(use_bias):
     )
 
 
+@pytest.mark.slow
 def test_api_fold_bn_matches(tmp_path):
     """load_model(fold_bn=True) must produce the same predictions as the
     unfolded model, after a short training run so stats are non-trivial."""

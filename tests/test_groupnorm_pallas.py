@@ -103,6 +103,7 @@ def test_eligibility_rules():
     assert not gn_pallas_eligible((1, 64, 64, 384), 128)         # gs=3 !| 128
 
 
+@pytest.mark.slow
 def test_int8_apply_gn_impl_parity():
     """fastddpm_int8_apply(gn_impl='pallas') == ('xla') within the bf16
     GN noise floor, on a geometry where the deep sites ARE eligible."""

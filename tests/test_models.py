@@ -118,6 +118,7 @@ def test_patchgan_rejects_too_small_input():
         _init(model, x, train=False)
 
 
+@pytest.mark.slow
 def test_registry_init_all():
     for name in ("unet", "deepcnn", "progressive_unet", "unet_gan",
                  "fastddpm", "fastddpm_simple"):
@@ -375,6 +376,7 @@ def test_fastddpm_128_param_count():
     assert param_count(variables["params"]) == 55_562_497
 
 
+@pytest.mark.slow
 def test_unet_remat_matches_plain():
     """remat=True must change only the backward's memory schedule: same
     params, same loss, same gradients as the plain UNet (it feeds the

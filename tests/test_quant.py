@@ -174,6 +174,7 @@ def test_quantize_rejects_unfolded_tree(batch):
         quantize_unet(unfolded, {})
 
 
+@pytest.mark.slow
 def test_percentile_calibration(folded, batch):
     """p99.9 scales are <= absmax scales (outlier tail clipped) and the
     quantized forward stays finite and close to float."""

@@ -134,6 +134,7 @@ def test_unet_converter_end_to_end_numeric_parity():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet_converter_tree_matches_flax_init():
     """Converted tree must be structurally identical to a flax init."""
     import jax

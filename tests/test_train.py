@@ -97,6 +97,7 @@ def test_combined_loss_training(store, tmp_path):
     assert "train_perceptual" in hist.series
 
 
+@pytest.mark.slow
 def test_deepcnn_training(store, tmp_path):
     from mrisr_tpu.train import SupervisedTrainer
 
@@ -132,6 +133,7 @@ def test_gan_training_runs(store, tmp_path):
     assert pred.shape == (2, *HW, 1)
 
 
+@pytest.mark.slow
 def test_diffusion_training_and_resume(store, tmp_path):
     from mrisr_tpu.train import DiffusionTrainer
 
