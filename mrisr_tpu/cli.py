@@ -343,11 +343,22 @@ def cmd_distill(args):
         teacher_cfg = ModelConfig(
             name=args.teacher, base_features=args.teacher_features
         )
+    calib_batches = None
+    if args.teacher_quant != "none":
+        # calibrate the quantized teacher on a handful of val inputs (same
+        # convention as export-serving's bundle calibration)
+        import itertools
+
+        calib_batches = [
+            b[..., :2] for b in itertools.islice(iter(val_loader), 4)
+        ]
     trainer = DistillationTrainer(
         cfg,
         teacher_name=args.teacher,
         teacher_models_dir=args.teacher_dir or args.checkpoint_dir,
         teacher_cfg=teacher_cfg,
+        teacher_quant=args.teacher_quant,
+        teacher_calibration_batches=calib_batches,
         image_size=hw,
         mesh=mesh,
         steps_per_epoch=len(train_loader),
@@ -889,6 +900,11 @@ def main(argv=None):
                    help="Polyak/EMA-average the student params per step "
                         "(e.g. 0.999); eval + the _best checkpoint use the "
                         "averaged weights — kills bf16 rerun spread")
+    q.add_argument("--teacher-quant", default="none",
+                   choices=("none", "int8", "int8_fused"),
+                   help="distill against the QUANTIZED teacher's outputs "
+                        "(the serving numerics) instead of its bf16 "
+                        "forward; calibrated on 4 val batches")
     q.add_argument("--config", default=None)
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)

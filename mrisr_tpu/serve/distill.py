@@ -125,8 +125,19 @@ def make_teacher_fn(
     models_dir: str = "models",
     image_size=(256, 256),
     cfg=None,
+    quant: str = "none",
+    calibration_batches=None,
 ) -> Callable[[jax.Array], jax.Array]:
-    """Frozen BN-folded bf16 forward of a trained pair-model checkpoint."""
+    """Frozen BN-folded bf16 forward of a trained pair-model checkpoint.
+
+    ``quant='int8'|'int8_fused'`` distills against the QUANTIZED teacher —
+    the exact serving numerics (`serve/quant.py` tables calibrated on
+    ``calibration_batches``, a list of (B, H, W, 2) inputs).  Rationale: a
+    production fleet serves the int8_fused teacher, so a student trained to
+    mimic the bf16 weights is matching a model nobody serves; targeting the
+    quantized outputs folds the teacher's quantization error into the
+    distillation objective instead of stacking it on top.
+    """
     from mrisr_tpu.api import load_model
 
     loaded = load_model(
@@ -138,6 +149,26 @@ def make_teacher_fn(
             f"distillation teacher must be a pair model; {teacher_name!r} "
             f"is kind={loaded.kind!r}"
         )
+    if quant != "none":
+        if quant not in ("int8", "int8_fused"):
+            raise ValueError(f"unknown teacher quant {quant!r}")
+        if not calibration_batches:
+            raise ValueError("a quantized teacher needs calibration_batches")
+        from mrisr_tpu.serve.quant import (
+            calibrate_unet, quantize_unet, unet_int8_apply,
+            unet_int8_fused_apply,
+        )
+
+        calib = calibrate_unet(loaded.variables, calibration_batches)
+        qparams = quantize_unet(loaded.variables, calib)
+        q_apply = (unet_int8_fused_apply if quant == "int8_fused"
+                   else unet_int8_apply)
+
+        def teacher_fn_q(x):
+            return q_apply(qparams, x).astype(jnp.float32)
+
+        return teacher_fn_q
+
     variables = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         loaded.variables,
@@ -166,6 +197,8 @@ class DistillationTrainer(SupervisedTrainer):
         teacher_name: str = "unet",
         teacher_models_dir: str = "models",
         teacher_cfg=None,
+        teacher_quant: str = "none",
+        teacher_calibration_batches=None,
         image_size=(256, 256),
         mesh=None,
         steps_per_epoch=None,
@@ -178,6 +211,8 @@ class DistillationTrainer(SupervisedTrainer):
             teacher_fn = make_teacher_fn(
                 teacher_name, models_dir=teacher_models_dir,
                 image_size=image_size, cfg=teacher_cfg,
+                quant=teacher_quant,
+                calibration_batches=teacher_calibration_batches,
             )
         alpha = config.loss.distill_alpha
         lam_ssim = config.loss.distill_lambda_ssim

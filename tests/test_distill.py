@@ -260,3 +260,59 @@ def test_distill_lambda_ssim_term():
     assert np.isfinite(float(tm["loss"])) and "ssim_loss" in tm
     for leaf in jax.tree_util.tree_leaves(state2.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.slow
+def test_distill_against_quantized_teacher(tmp_path):
+    """make_teacher_fn(quant='int8_fused') reproduces the SERVING numerics
+    exactly — its outputs equal unet_int8_fused_apply over an independently
+    folded+calibrated+quantized copy of the same checkpoint — and the
+    distill step trains against it."""
+    from mrisr_tpu.ckpt import save_checkpoint
+    from mrisr_tpu.ckpt.fold_bn import fold_unet_batchnorm
+    from mrisr_tpu.config import ModelConfig, TrainConfig
+    from mrisr_tpu.models.registry import init_model
+    from mrisr_tpu.serve.distill import make_teacher_fn
+    from mrisr_tpu.serve.quant import (
+        calibrate_unet, quantize_unet, unet_int8_fused_apply,
+    )
+    from mrisr_tpu.train.state import create_train_state, make_optimizer
+
+    mcfg = ModelConfig(name="unet", base_features=4)
+    _, variables, _ = init_model("unet", mcfg, image_size=HW)
+    save_checkpoint(
+        str(tmp_path / "unet_best"),
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+    )
+    rng = np.random.default_rng(0)
+    calib = [jnp.asarray(rng.standard_normal((2, *HW, 2)), jnp.float32)
+             for _ in range(2)]
+
+    with pytest.raises(ValueError, match="calibration"):
+        make_teacher_fn("unet", models_dir=str(tmp_path), image_size=HW,
+                        cfg=mcfg, quant="int8_fused")
+
+    tfn = make_teacher_fn("unet", models_dir=str(tmp_path), image_size=HW,
+                          cfg=mcfg, quant="int8_fused",
+                          calibration_batches=calib)
+    x = jnp.asarray(rng.standard_normal((2, *HW, 2)), jnp.float32)
+    got = np.asarray(tfn(x))
+
+    folded = fold_unet_batchnorm(
+        variables["params"], variables["batch_stats"])
+    want = unet_int8_fused_apply(
+        quantize_unet(folded, calibrate_unet(folded, calib)), x)
+    np.testing.assert_allclose(got, np.asarray(want, np.float32), atol=1e-5)
+    assert got.shape == (2, *HW, 1)
+
+    # a student step against the quantized teacher runs and returns the
+    # teacher-mse component
+    smcfg = ModelConfig(name="unet", base_features=4)
+    _, svars, _ = init_model("unet", smcfg, image_size=HW, seed=1)
+    model = init_model("unet", smcfg, image_size=HW, seed=1)[0]
+    state = create_train_state(model, svars, make_optimizer(TrainConfig()))
+    train_step, _ = make_distill_steps(tfn, alpha=1.0, donate=False)
+    batch = jnp.asarray(rng.standard_normal((2, *HW, 3)), jnp.float32)
+    _, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
