@@ -27,6 +27,12 @@ def main():
     p.add_argument("--models", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--model", default="unet",
+                   help="checkpoint name (e.g. unet_distilled for a "
+                        "student's serving-accuracy row)")
+    p.add_argument("--features", type=int, default=None,
+                   help="model width when it differs from the registry "
+                        "default (distilled students)")
     args = p.parse_args()
 
     import jax
@@ -46,8 +52,14 @@ def main():
     store = VolumeStore.open(args.data)
     data_cfg = DataConfig(root=args.data, batch_size=32, augment=False)
 
+    mcfg = None
+    if args.features:
+        from mrisr_tpu.config import ModelConfig
+
+        mcfg = ModelConfig(name=args.model, base_features=args.features)
     loaded = load_model(
-        "unet", models_dir=args.models, checkpoint="required", fold_bn=True
+        args.model, models_dir=args.models, checkpoint="required",
+        fold_bn=True, cfg=mcfg,
     )
     folded = loaded.variables
 
@@ -120,7 +132,8 @@ def main():
                         - results["bf16"][sp]["psnr_mean"], 4
                     ),
                 }
-    out = {**results, "delta_vs_bf16": deltas}
+    out = {"model": args.model, "features": features,
+           **results, "delta_vs_bf16": deltas}
     print(json.dumps(out, indent=2))
     if args.out:
         pathlib.Path(args.out).parent.mkdir(parents=True, exist_ok=True)
