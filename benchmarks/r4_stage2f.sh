@@ -10,6 +10,14 @@ D=/tmp/demo
 R=/tmp/demo/results
 mkdir -p $R
 
+# the r4 teacher (stage 1 retrain) was never evaluated; every student gap
+# in the Pareto is measured against THIS eval, on the same device/dtype
+# path as the student evals
+python -m mrisr_tpu.cli eval --model unet --data $D/store \
+  --checkpoint-dir $D/models --results-dir $R
+python benchmarks/int8_accuracy.py --data $D/store --models $D/models \
+  --out $R/int8_acc_teacher.json | tail -n 30
+
 for CK in m_w32_s0 m_w32_s1 m_w32_s2 m_w40 m_w48 m_w32_ema_s0 m_w32_ema_s1 m_w32_ema_s2; do
   F=32
   case $CK in m_w40) F=40;; m_w48) F=48;; esac
