@@ -17,4 +17,8 @@ for F in 40 48; do
   # one bf16 anchor per width at the mid batch
   python bench.py --features $F --batch-size 256 --quant none | tee -a $OUT
 done
+
+# re-anchor w32 at its r3 peak batch under the current code, so the whole
+# Pareto throughput column is measured in one session
+python bench.py --features 32 --batch-size 384 --quant int8_fused | tee -a $OUT
 echo "=== stage 2d done ==="
