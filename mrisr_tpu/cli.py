@@ -359,6 +359,7 @@ def cmd_distill(args):
         teacher_cfg=teacher_cfg,
         teacher_quant=args.teacher_quant,
         teacher_calibration_batches=calib_batches,
+        init_from_teacher=args.init_from_teacher,
         image_size=hw,
         mesh=mesh,
         steps_per_epoch=len(train_loader),
@@ -905,6 +906,10 @@ def main(argv=None):
                    help="distill against the QUANTIZED teacher's outputs "
                         "(the serving numerics) instead of its bf16 "
                         "forward; calibrated on 4 val batches")
+    q.add_argument("--init-from-teacher", action="store_true",
+                   help="initialize the student as a magnitude-pruned "
+                        "channel slice of the teacher (BN |gamma| scores, "
+                        "serve/prune.py) instead of a random init")
     q.add_argument("--config", default=None)
     q.add_argument("--scan-epochs", action="store_true")
     _add_common_train_args(q)

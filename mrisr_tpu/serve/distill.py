@@ -199,6 +199,7 @@ class DistillationTrainer(SupervisedTrainer):
         teacher_cfg=None,
         teacher_quant: str = "none",
         teacher_calibration_batches=None,
+        init_from_teacher: bool = False,
         image_size=(256, 256),
         mesh=None,
         steps_per_epoch=None,
@@ -207,6 +208,23 @@ class DistillationTrainer(SupervisedTrainer):
                          steps_per_epoch=steps_per_epoch)
         if self.kind != "pair":
             raise ValueError("distillation supports pair models only")
+        if init_from_teacher:
+            # replace the random student init with a magnitude-pruned
+            # channel slice of the trained teacher (serve/prune.py) —
+            # distillation then fine-tunes an approximation of the teacher
+            # instead of learning it from scratch
+            from mrisr_tpu.serve.prune import load_pruned_student_init
+
+            pruned = load_pruned_student_init(
+                teacher_name, models_dir=teacher_models_dir,
+                student_vars={"params": self.state.params,
+                              "batch_stats": self.state.batch_stats},
+                image_size=image_size, cfg=teacher_cfg,
+            )
+            self.state = self.state.replace(
+                params=jax.tree.map(jnp.asarray, pruned["params"]),
+                batch_stats=jax.tree.map(jnp.asarray, pruned["batch_stats"]),
+            )
         if teacher_fn is None:
             teacher_fn = make_teacher_fn(
                 teacher_name, models_dir=teacher_models_dir,
