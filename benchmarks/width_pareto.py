@@ -29,7 +29,11 @@ STUDENTS = [
     ("m_w32_ema_s1", 32, "bf16+EMA seed 1"),
     ("m_w32_ema_s2", 32, "bf16+EMA seed 2"),
     ("m_w32_tq", 32, "bf16 int8-teacher"),
+    ("m_w32_prune_s0", 32, "prune+EMA seed 0"),
+    ("m_w32_prune_s1", 32, "prune+EMA seed 1"),
+    ("m_w32_prune_s2", 32, "prune+EMA seed 2"),
     ("m_w40", 40, "bf16 seed 0"),
+    ("m_w40_prune", 40, "prune+EMA seed 0"),
     ("m_w48", 48, "bf16 seed 0"),
 ]
 
