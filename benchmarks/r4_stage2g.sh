@@ -11,7 +11,7 @@ prune_one () {  # $1=features $2=ckpt_dir $3... extra
   python -m mrisr_tpu.cli distill --teacher unet --data $D/corpus32 \
     --epochs 40 --batch-size 32 --features $F \
     --distill-alpha 1.0 --distill-lambda-ssim 0.3 --bf16 \
-    --init-from-teacher --ema 0.999 --patience 100 \
+    --init-from-teacher --ema 0.999 --lr-schedule cosine --patience 100 \
     --teacher-dir $D/models --checkpoint-dir $CK --results-dir $CK \
     --backend device --scan-epochs "$@"
   python -m mrisr_tpu.cli eval --model unet_distilled --features $F \
