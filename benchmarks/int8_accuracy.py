@@ -33,7 +33,28 @@ def main():
     p.add_argument("--features", type=int, default=None,
                    help="model width when it differs from the registry "
                         "default (distilled students)")
+    p.add_argument("--variants", default=None,
+                   help="comma list restricting which forward variants to "
+                        "evaluate (default: all five).  Each full-test-set "
+                        "pass costs ~15-20 min on the TPU tunnel, so "
+                        "per-student Pareto rows use "
+                        "'bf16,int8_fused_shared' — the deployed serving "
+                        "config plus its same-path bf16 baseline — and "
+                        "leave the absmax/percentile/dual diagnostics to "
+                        "the teacher row")
     args = p.parse_args()
+
+    _ALL_VARIANTS = ("bf16", "int8_absmax", "int8_p99.9",
+                     "int8_fused_absmax", "int8_fused_shared")
+    keep = None
+    if args.variants:
+        keep = {v.strip() for v in args.variants.split(",")}
+        unknown = keep - set(_ALL_VARIANTS)
+        if unknown:
+            raise SystemExit(f"unknown variants: {sorted(unknown)}; "
+                             f"choose from {sorted(_ALL_VARIANTS)}")
+        if "bf16" not in keep:
+            raise SystemExit("--variants must include bf16 (delta baseline)")
 
     import jax
 
@@ -111,6 +132,15 @@ def main():
             lambda x: unet_int8_fused_apply(q_absmax, x, skip_emit="shared")
         ),
     }
+    if args.variants:
+        keep = {v.strip() for v in args.variants.split(",")}
+        unknown = keep - set(variants)
+        if unknown:
+            raise SystemExit(f"unknown variants: {sorted(unknown)}; "
+                             f"choose from {sorted(variants)}")
+        if "bf16" not in keep:
+            raise SystemExit("--variants must include bf16 (delta baseline)")
+        variants = {k: v for k, v in variants.items() if k in keep}
     results = {}
     for label, fn in variants.items():
         results[label] = evaluate_pair_model_test_set(
@@ -119,6 +149,8 @@ def main():
     deltas = {}
     for label in ("int8_absmax", "int8_p99.9", "int8_fused_absmax",
                   "int8_fused_shared"):
+        if label not in results:
+            continue
         deltas[label] = {}
         for sp in ("3mm", "6mm"):
             if sp in results["bf16"] and sp in results[label]:

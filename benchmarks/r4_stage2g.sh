@@ -27,7 +27,7 @@ prune_one 40 $D/m_w40_prune --train-seed 0
 for CK in m_w32_prune_s0 m_w32_prune_s1 m_w32_prune_s2 m_w40_prune; do
   F=32; [ "$CK" = m_w40_prune ] && F=40
   python benchmarks/int8_accuracy.py --data $D/store --models $D/$CK \
-    --model unet_distilled --features $F \
+    --model unet_distilled --features $F --variants bf16,int8_fused_shared \
     --out $D/results/int8_acc_$CK.json | tail -n 5
 done
 echo "=== stage 2g done ==="
