@@ -53,6 +53,10 @@ from __future__ import annotations
 import json
 import time
 
+from mrisr_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 # TPU v5e dense bf16 peak (public spec: 394 TOPS int8, 197 TFLOP/s bf16).
 V5E_BF16_PEAK_TFLOPS = 197.0
 

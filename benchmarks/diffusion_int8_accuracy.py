@@ -23,6 +23,10 @@ import sys
 # Repo-root import without PYTHONPATH (PYTHONPATH breaks the axon plugin).
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser()

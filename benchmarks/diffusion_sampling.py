@@ -29,6 +29,10 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 

@@ -36,6 +36,10 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def build_int8_fused_forward(batch_size: int, image_size: int,
                              features: int = 64):

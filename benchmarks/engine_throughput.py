@@ -33,6 +33,10 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def main():
     p = argparse.ArgumentParser()

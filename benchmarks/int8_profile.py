@@ -35,6 +35,10 @@ import tempfile
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 V5E_INT8_PEAK_TOPS = 394.0  # 2x the 197 TFLOP/s bf16 dense peak
 
 

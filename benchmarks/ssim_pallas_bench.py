@@ -21,6 +21,10 @@ import time
 # TPU plugin's helper process on this machine (backend fails to register).
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def bench(fn_name: str, ssim_fn, batch: int, scan_len: int, repeats: int = 3):
     import jax

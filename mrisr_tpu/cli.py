@@ -832,6 +832,9 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from mrisr_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="mrisr")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -2,3 +2,4 @@
 
 from mrisr_tpu.utils.logging import get_logger, StepTimer  # noqa: F401
 from mrisr_tpu.utils.profiling import profile_trace, enable_nan_debug  # noqa: F401
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: F401

@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # explicitly so tests always run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+from mrisr_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
