@@ -1,0 +1,197 @@
+#!/bin/bash
+# Round-5 TPU campaign: run the width/recipe Pareto (r4 stages 1+2b-2g) to
+# COMPLETION with the crash-proofing VERDICT r4 item 2 demanded:
+#   - every unit is guarded by its DURABLE artifact (results_demo/pareto/...),
+#     so re-invoking the script resumes instead of restarting;
+#   - small JSON artifacts are copied into the repo the moment each unit
+#     finishes, mirroring the /tmp/demo layout width_pareto.py reads
+#     (`width_pareto.py --demo results_demo/pareto` works off commits alone);
+#   - `git commit` after every unit — a dead session loses at most one
+#     student's training time.
+# Units are ordered by evidence value: teacher baseline -> prune/EMA/plain
+# seed trios (the 5k-claim certification) -> engine + fastddpm_simple anchor
+# (quick VERDICT items) -> tq/fp32/width rungs -> throughput sweep -> the
+# step-distillation ladder artifacts.
+set -uo pipefail
+cd /root/repo
+D=/tmp/demo
+R=$D/results
+P=/root/repo/results_demo/pareto
+mkdir -p "$D" "$R" "$P/results"
+
+say () { echo "[r5 $(date +%H:%M:%S)] $*"; }
+
+commit_unit () {  # $1 = message
+  git add results_demo >/dev/null 2>&1
+  if ! git diff --cached --quiet 2>/dev/null; then
+    git commit -m "$1" >/dev/null 2>&1 && say "committed: $1" \
+      || say "WARN commit failed: $1"
+  fi
+}
+
+# ---------- stores + unet teacher (from r4 stage 1; cheap, usually present)
+ensure_prereqs () {
+  [ -d $D/store ]    || python -m mrisr_tpu.cli synth $D/store
+  [ -d $D/corpus32 ] || python -m mrisr_tpu.cli synth $D/corpus32 --patients 32 --seed 1000
+  if [ ! -d $D/models/unet_best ]; then
+    say "training unet teacher (6 ep)"
+    python -m mrisr_tpu.cli train --preset unet --data $D/store \
+      --epochs 6 --batch-size 32 \
+      --checkpoint-dir $D/models --results-dir $D/results \
+      --backend device --scan-epochs
+  fi
+}
+
+# ---------- unit: teacher eval + teacher int8 baseline
+unit_teacher () {
+  if [ -f $P/results/int8_acc_teacher.json ]; then say "skip teacher (done)"; return; fi
+  ensure_prereqs
+  say "teacher eval"
+  python -m mrisr_tpu.cli eval --model unet --data $D/store \
+    --checkpoint-dir $D/models --results-dir $R || return
+  say "teacher int8 accuracy"
+  python benchmarks/int8_accuracy.py --data $D/store --models $D/models \
+    --variants bf16,int8_fused_shared \
+    --out $R/int8_acc_teacher.json | tail -n 8 || return
+  cp $R/unet_test_metrics.json $R/int8_acc_teacher.json $P/results/
+  commit_unit "Pareto campaign: teacher eval + int8 serving baseline"
+}
+
+# ---------- unit: one student = distill + eval + int8 row, durably saved
+student () {  # $1=name $2=features $3=do_int8(yes/no); rest = extra distill flags
+  local NAME=$1 F=$2 INT8=$3; shift 3
+  if [ -f $P/$NAME/unet_distilled_test_metrics.json ]; then say "skip $NAME (done)"; return; fi
+  ensure_prereqs
+  local CK=$D/$NAME
+  say "student $NAME (width $F): distill"
+  python -m mrisr_tpu.cli distill --teacher unet --data $D/corpus32 \
+    --epochs 40 --batch-size 32 --features $F \
+    --distill-alpha 1.0 --distill-lambda-ssim 0.3 --patience 100 \
+    --teacher-dir $D/models --checkpoint-dir $CK --results-dir $CK \
+    --backend device --scan-epochs "$@" || { say "FAIL distill $NAME"; return; }
+  say "student $NAME: eval"
+  python -m mrisr_tpu.cli eval --model unet_distilled --features $F \
+    --data $D/store --checkpoint-dir $CK --results-dir $CK \
+    || { say "FAIL eval $NAME"; return; }
+  if [ "$INT8" = yes ]; then
+    say "student $NAME: int8 serving accuracy"
+    python benchmarks/int8_accuracy.py --data $D/store --models $CK \
+      --model unet_distilled --features $F --variants bf16,int8_fused_shared \
+      --out $R/int8_acc_$NAME.json | tail -n 5 \
+      || say "WARN int8 acc failed for $NAME"
+    [ -f $R/int8_acc_$NAME.json ] && cp $R/int8_acc_$NAME.json $P/results/
+  fi
+  mkdir -p $P/$NAME
+  cp $CK/unet_distilled_test_metrics.json $P/$NAME/
+  [ -f $CK/unet_distilled_history.json ] && cp $CK/unet_distilled_history.json $P/$NAME/
+  commit_unit "Pareto campaign: student $NAME (width $F)"
+}
+
+# ---------- unit: serving-engine loopback (VERDICT r4 item 4)
+unit_engine () {
+  if [ -f $P/results/engine_loopback.json ]; then say "skip engine (done)"; return; fi
+  say "engine loopback benchmark"
+  python benchmarks/engine_loopback.py --batch-size 128 \
+    | tee $R/engine_loopback.raw || return
+  grep "^{" $R/engine_loopback.raw > $P/results/engine_loopback.json || return
+  commit_unit "Serving engine loopback: measured engine-vs-raw throughput"
+}
+
+# ---------- unit: fastddpm_simple anchor retrain (VERDICT r4 item 3)
+unit_simple_anchor () {
+  if [ -f $P/.simple_anchor_done ]; then say "skip fastddpm_simple anchor (done)"; return; fi
+  ensure_prereqs
+  say "fastddpm_simple anchor retrain (40 ep, value_range fix)"
+  python -m mrisr_tpu.cli train --preset fastddpm_simple --data $D/store \
+    --epochs 40 --batch-size 16 --bf16 --patience 100 \
+    --checkpoint-dir $D/models --results-dir results_demo \
+    --backend device --scan-epochs || return
+  python -m mrisr_tpu.cli eval --model fastddpm_simple --data $D/store \
+    --checkpoint-dir $D/models --results-dir results_demo || return
+  touch $P/.simple_anchor_done
+  commit_unit "Retrain fastddpm_simple anchor under the value_range=[-1,1] fix"
+}
+
+# ---------- unit: width-40/48 int8_fused throughput sweep (trimmed 2d)
+unit_width_throughput () {
+  if [ -f $P/results/width_throughput.jsonl ]; then say "skip width throughput (done)"; return; fi
+  : > $R/width_throughput.jsonl
+  say "width throughput sweep"
+  for SPEC in "40 256" "40 320" "48 192" "48 256" "32 384"; do
+    set -- $SPEC
+    python bench.py --features $1 --batch-size $2 --quant int8_fused \
+      | tee -a $R/width_throughput.jsonl || say "WARN bench w$1 b$2 failed"
+  done
+  cp $R/width_throughput.jsonl $P/results/
+  commit_unit "Pareto campaign: width-40/48 int8_fused throughput sweep"
+}
+
+# ---------- unit: fastddpm teacher + step-distillation ladder + int8 rows
+unit_step_ladder () {
+  if [ -f $P/results/steps3_int8_accuracy.json ]; then say "skip step ladder (done)"; return; fi
+  ensure_prereqs
+  if [ ! -d $D/models/fastddpm_best ]; then
+    say "training fastddpm teacher (48 ep)"
+    python -m mrisr_tpu.cli train --preset fastddpm --data $D/store \
+      --epochs 48 --batch-size 16 --bf16 --patience 100 \
+      --checkpoint-dir $D/models --results-dir $D/results \
+      --backend device --scan-epochs || return
+    python -m mrisr_tpu.cli eval --model fastddpm --data $D/store \
+      --checkpoint-dir $D/models --results-dir $R || return
+    [ -f $R/fastddpm_test_metrics.json ] && cp $R/fastddpm_test_metrics.json $P/results/
+    commit_unit "Pareto campaign: r5 fastddpm teacher eval anchor"
+  fi
+  if [ ! -d $D/models/fastddpm_steps3_best ]; then
+    say "step-distill T=10 -> 5 -> 3"
+    python -m mrisr_tpu.cli distill-steps --teacher fastddpm --data $D/store \
+      --rounds 2 --factor 2 --epochs 30 --lr 2e-4 --batch-size 16 --bf16 \
+      --checkpoint-dir $D/models --results-dir $R --backend device || return
+    [ -f $R/fastddpm_stepdistill.json ] && cp $R/fastddpm_stepdistill.json $P/results/
+    commit_unit "Pareto campaign: r5 step-distillation ladder (T=10->5->3)"
+  fi
+  for S in 5 3; do
+    say "steps$S int8 accuracy"
+    python benchmarks/diffusion_int8_accuracy.py --data $D/store \
+      --models $D/models --model fastddpm_steps$S \
+      --out $R/steps${S}_int8_accuracy.json | tail -n 5 \
+      || { say "FAIL steps$S int8"; return; }
+    cp $R/steps${S}_int8_accuracy.json $P/results/
+  done
+  commit_unit "Step-distilled students: int8 accuracy artifacts (steps5 + steps3)"
+}
+
+# ---------- unit: assemble the Pareto table from the durable mirror
+unit_assemble () {
+  say "assembling Pareto table"
+  python benchmarks/width_pareto.py --demo $P \
+    --json $P/width_pareto.json | tee $P/width_pareto.md || return
+  commit_unit "Pareto campaign: assembled width/recipe Pareto table"
+}
+
+say "=== r5 campaign start ==="
+unit_teacher
+# quick high-value VERDICT items first so they're banked early
+unit_engine
+unit_simple_anchor
+# the certification trios (strongest recipe first)
+student m_w32_prune_s0 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 0
+student m_w32_prune_s1 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 1
+student m_w32_prune_s2 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 2
+unit_assemble
+student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
+student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
+student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
+student m_w32_s0 32 yes --bf16 --train-seed 0
+student m_w32_s1 32 yes --bf16 --train-seed 1
+student m_w32_s2 32 yes --bf16 --train-seed 2
+unit_assemble
+student m_w32_tq 32 yes --bf16 --train-seed 0 --teacher-quant int8_fused
+student m_w32_f32a 32 no --train-seed 0
+student m_w32_f32b 32 no --train-seed 0
+student m_w40 40 yes --bf16 --train-seed 0
+student m_w40_prune 40 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 0
+student m_w48 48 yes --bf16 --train-seed 0
+unit_width_throughput
+unit_assemble
+unit_step_ladder
+say "=== r5 campaign done ==="
