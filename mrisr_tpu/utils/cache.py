@@ -43,6 +43,11 @@ def enable_compile_cache() -> str | None:
     cache_dir = os.environ.get("MRISR_JAX_CACHE")
     if cache_dir == "":
         return None
+    # CPU runs (tests, the driver's virtual-mesh dryrun) compile in seconds
+    # and XLA:CPU's AOT reload warns about machine-feature mismatches — the
+    # cache only pays for itself on the TPU tunnel, so skip it on CPU.
+    if cache_dir is None and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return None
     if cache_dir is None:
         cache_dir = _default_cache_dir()
     try:
