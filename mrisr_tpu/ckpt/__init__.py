@@ -11,6 +11,7 @@ timestamp — and latest-by-epoch discovery (T7, `Fixed:cell9`).
 from mrisr_tpu.ckpt.io import (  # noqa: F401
     get_latest_checkpoint,
     restore_checkpoint,
+    restore_checkpoint_numpy,
     save_checkpoint,
     wait_for_async_saves,
 )

@@ -56,7 +56,13 @@ def wait_for_async_saves() -> None:
 
 def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     """Restore a pytree; ``template`` (matching structure with abstract or
-    concrete arrays) enables exact dtype/sharding restoration."""
+    concrete arrays) enables exact dtype/sharding restoration.
+
+    Templateless restores are device-portable: when the checkpoint's saved
+    sharding metadata names devices this host doesn't have (a TPU-written
+    checkpoint opened on a CPU-only box), the restore falls back to plain
+    host numpy leaves instead of failing.
+    """
     path = _abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
@@ -64,7 +70,27 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
             ocp.utils.to_shape_dtype_struct, template
         )
         return ckptr.restore(path, template)
-    return ckptr.restore(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        return restore_checkpoint_numpy(path)
+
+
+def restore_checkpoint_numpy(path: str) -> Any:
+    """Device-agnostic restore: every leaf comes back as host numpy,
+    ignoring the checkpoint's saved device/sharding metadata entirely."""
+    import numpy as np
+
+    path = _abspath(path)
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+    )
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(
+        restore_args=restore_args))
 
 
 def get_latest_checkpoint(
