@@ -173,25 +173,33 @@ unit_teacher
 # quick high-value VERDICT items first so they're banked early
 unit_engine
 unit_simple_anchor
-# the certification trios (strongest recipe first)
-student m_w32_prune_s0 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 0
-student m_w32_prune_s1 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 1
-student m_w32_prune_s2 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 2
-unit_assemble
-student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
-student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
-student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
+# the certification trios first (r5 reorder: prune+EMA measured a hard
+# LOSER on its first seed — SSIM 0.276 vs the plain recipe's ~0.727; the
+# identity-prune parity test is exact, so the pruned half-width slice is
+# simply a worse-than-random init that 40 ep at lr 2e-4 cannot recover
+# from.  The plain and EMA trios are the certification candidates; the
+# remaining prune seeds move to the if-time tail as confirmation runs.)
 student m_w32_s0 32 yes --bf16 --train-seed 0
 student m_w32_s1 32 yes --bf16 --train-seed 1
 student m_w32_s2 32 yes --bf16 --train-seed 2
 unit_assemble
-student m_w32_tq 32 yes --bf16 --train-seed 0 --teacher-quant int8_fused
-student m_w32_f32a 32 no --train-seed 0
-student m_w32_f32b 32 no --train-seed 0
+student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
+student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
+student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
+unit_assemble
+# width rungs + throughput sweep complete the Pareto's second axis
 student m_w40 40 yes --bf16 --train-seed 0
-student m_w40_prune 40 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 0
 student m_w48 48 yes --bf16 --train-seed 0
 unit_width_throughput
 unit_assemble
+# the step-distillation ladder (VERDICT r4 item 6)
 unit_step_ladder
+# if-time tail: diagnostics, confirmation seeds, fp32 determinism pair
+student m_w32_tq 32 yes --bf16 --train-seed 0 --teacher-quant int8_fused
+student m_w32_prune_s1 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 1
+student m_w32_prune_s2 32 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 2
+student m_w40_prune 40 yes --bf16 --init-from-teacher --ema 0.999 --lr-schedule cosine --train-seed 0
+student m_w32_f32a 32 no --train-seed 0
+student m_w32_f32b 32 no --train-seed 0
+unit_assemble
 say "=== r5 campaign done ==="
