@@ -44,7 +44,12 @@ ensure_prereqs () {
 
 # ---------- unit: teacher eval + teacher int8 baseline
 unit_teacher () {
-  if [ -f $P/results/int8_acc_teacher.json ]; then say "skip teacher (done)"; return; fi
+  # Re-run the eval whenever the /tmp teacher is gone: a retrained teacher
+  # (same seed/recipe, bf16 nondeterminism) must refresh the committed
+  # anchor so every student gap is measured against the teacher actually
+  # used for distillation.
+  if [ -f $P/results/int8_acc_teacher.json ] && [ -d $D/models/unet_best ]; then
+    say "skip teacher (done)"; return; fi
   ensure_prereqs
   say "teacher eval"
   python -m mrisr_tpu.cli eval --model unet --data $D/store \
