@@ -1,0 +1,29 @@
+#!/bin/bash
+# Reordered tail of the r5 campaign (same durable-artifact guards, so it
+# composes with benchmarks/r5_campaign.sh): with ~37 min/unit measured on
+# this tunnel, the full r5 order cannot finish in one session.  Priority
+# per VERDICT r4: (1) the 3-seed certification trio + assembled Pareto,
+# (6) the step-distillation ladder incl. the steps3 int8 artifact, then
+# the width-throughput sweep that re-anchors the serving headline, then
+# the EMA trio / width rungs as if-time breadth.
+set -uo pipefail
+cd /root/repo
+# pull in D/R/P, say, commit_unit and every unit fn (everything above the
+# campaign's own execution order)
+source <(awk '/=== r5 campaign start ===/{exit} !/^#!/{print}' benchmarks/r5_campaign.sh)
+
+say "=== r5 tail start ==="
+student m_w32_s1 32 yes --bf16 --train-seed 1
+student m_w32_s2 32 yes --bf16 --train-seed 2
+unit_assemble
+unit_width_throughput
+unit_assemble
+unit_step_ladder
+student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
+student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
+student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
+unit_assemble
+student m_w40 40 yes --bf16 --train-seed 0
+student m_w48 48 yes --bf16 --train-seed 0
+unit_assemble
+say "=== r5 tail done ==="
