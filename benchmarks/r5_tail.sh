@@ -32,9 +32,9 @@ say "=== r5 tail start ==="
 student m_w32_s1 32 yes --bf16 --train-seed 1
 student m_w32_s2 32 yes --bf16 --train-seed 2
 unit_assemble
-unit_step_ladder
 unit_width_throughput
 unit_assemble
+unit_step_ladder
 student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
 student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
 student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
