@@ -29,17 +29,17 @@ unit_width_throughput () {
 }
 
 say "=== r5 tail start ==="
-student m_w32_s1 32 yes --bf16 --train-seed 1
-student m_w32_s2 32 yes --bf16 --train-seed 2
+student m_w32_s1 32 yes --light-checkpoints --bf16 --train-seed 1
+student m_w32_s2 32 yes --light-checkpoints --bf16 --train-seed 2
 unit_assemble
 unit_width_throughput
 unit_assemble
 unit_step_ladder
-student m_w32_ema_s0 32 yes --bf16 --ema 0.999 --train-seed 0
-student m_w32_ema_s1 32 yes --bf16 --ema 0.999 --train-seed 1
-student m_w32_ema_s2 32 yes --bf16 --ema 0.999 --train-seed 2
+student m_w32_ema_s0 32 yes --light-checkpoints --bf16 --ema 0.999 --train-seed 0
+student m_w32_ema_s1 32 yes --light-checkpoints --bf16 --ema 0.999 --train-seed 1
+student m_w32_ema_s2 32 yes --light-checkpoints --bf16 --ema 0.999 --train-seed 2
 unit_assemble
-student m_w40 40 yes --bf16 --train-seed 0
-student m_w48 48 yes --bf16 --train-seed 0
+student m_w40 40 yes --light-checkpoints --bf16 --train-seed 0
+student m_w48 48 yes --light-checkpoints --bf16 --train-seed 0
 unit_assemble
 say "=== r5 tail done ==="

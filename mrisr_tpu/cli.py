@@ -54,6 +54,11 @@ def _add_common_train_args(p, data_required=True):
                    help="training RNG seed override (init, shuffling, "
                         "augmentation; default: preset value 0) — rerun a "
                         "recipe under several seeds to measure its spread")
+    p.add_argument("--light-checkpoints", action="store_true",
+                   help="save only the best (async) + one final latest "
+                        "checkpoint — skips the per-epoch resume snapshots "
+                        "whose sync device→host fetches dominate short "
+                        "epochs on slow links (sweep/campaign runs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--backend", default="host", choices=("host", "device"))
     p.add_argument("--features", type=int, default=None,
@@ -105,6 +110,8 @@ def _build_config(args, preset_name):
            if getattr(args, "patience", None) is not None else {}),
         **({"seed": args.train_seed}
            if getattr(args, "train_seed", None) is not None else {}),
+        **({"save_every_epoch": False, "light_checkpoints": True}
+           if getattr(args, "light_checkpoints", False) else {}),
     )
     model = cfg.model
     if getattr(args, "features", None):

@@ -131,6 +131,11 @@ class TrainConfig:
     checkpoint_dir: str = "models"
     results_dir: str = "results"
     save_every_epoch: bool = True        # resumable per-epoch ckpt (Fixed:cell9)
+    # campaign mode: only the best (async) + one final latest checkpoint.
+    # Over the dev tunnel each sync save fetches params+opt state at
+    # ~5.6 MB/s, which dominates short epochs; sweep runs that never
+    # resume don't need the per-epoch snapshots.
+    light_checkpoints: bool = False
     # precision policy: params fp32; compute dtype for conv/matmul
     compute_dtype: str = "float32"       # 'float32' | 'bfloat16'
     donate_batch: bool = True

@@ -159,14 +159,18 @@ class _EpochLoopMixin:
             if improved:
                 best_loss = val_metrics["loss"]
                 patience_counter = 0
-                self.save(self._ckpt_path("best"), epoch, best_loss)
+                # light mode: best goes through the async writer (flushed
+                # before fit() returns) so improvement epochs don't stall
+                self.save(self._ckpt_path("best"), epoch, best_loss,
+                          async_=self.config.train.light_checkpoints)
                 if verbose:
                     print("  (best)")
             else:
                 patience_counter += 1
                 if verbose:
                     print(f"  (patience {patience_counter}/{patience})")
-            self.save(self._ckpt_path("latest"), epoch, best_loss)
+            if not self.config.train.light_checkpoints:
+                self.save(self._ckpt_path("latest"), epoch, best_loss)
             if self.config.train.save_every_epoch:
                 # per-epoch resume snapshots go through the async writer so
                 # the step loop never waits on IO (flushed at exit / next save)
@@ -179,6 +183,9 @@ class _EpochLoopMixin:
                     print(f"Early stopping after {epoch} epochs")
                 break
 
+        if self.config.train.light_checkpoints:
+            # the one resumable state light mode keeps
+            self.save(self._ckpt_path("latest"), epoch, best_loss)
         # flush in-flight async per-epoch saves so a resume immediately
         # after fit() sees the newest epoch checkpoint
         from mrisr_tpu.ckpt import wait_for_async_saves

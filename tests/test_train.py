@@ -240,3 +240,32 @@ def test_resume_restores_history(store, tmp_path):
     t2.fit(loader, None, epochs=2, verbose=False)
     assert t2.history.series["epoch"] == [1.0, 2.0]
     assert len(t2.history.series["train_loss"]) == 2
+
+
+def test_light_checkpoints_mode(store, tmp_path):
+    """--light-checkpoints: best (async, flushed by fit) + one final latest,
+    no per-epoch snapshots, and the saved state round-trips."""
+    from mrisr_tpu.train import SupervisedTrainer
+
+    cfg = _cfg("unet", tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, save_every_epoch=False, light_checkpoints=True
+        ),
+    )
+    trainer = SupervisedTrainer(cfg, image_size=HW)
+    loader = build_loader(store, "train", cfg.data)
+    trainer.fit(loader, None, epochs=2, verbose=False)
+    names = sorted(os.listdir(cfg.train.checkpoint_dir))
+    assert "unet_best" in names and "unet_latest" in names
+    assert not any("epoch_" in n for n in names), names
+
+    pred_before = trainer.predict(jnp.zeros((1, *HW, 2)))
+    trainer2 = SupervisedTrainer(cfg, image_size=HW)
+    trainer2.load(os.path.join(cfg.train.checkpoint_dir, "unet_latest"))
+    pred_after = trainer2.predict(jnp.zeros((1, *HW, 2)))
+    np.testing.assert_allclose(
+        np.asarray(pred_before), np.asarray(pred_after), atol=1e-6
+    )
+    assert trainer2.start_epoch == 3
