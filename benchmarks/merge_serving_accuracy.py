@@ -54,6 +54,17 @@ def main():
         if row:
             served[name] = row
 
+    # preserve the r3 variant-ladder section across re-merges
+    legacy = {}
+    if os.path.exists(args.out):
+        try:
+            prev = json.load(open(args.out))
+            if "r3_teacher_variant_ladder" in prev:
+                legacy["r3_teacher_variant_ladder"] = (
+                    prev["r3_teacher_variant_ladder"])
+        except (json.JSONDecodeError, OSError):
+            pass
+
     out = {
         "note": ("teacher + distilled-student int8 serving accuracy, all "
                  "rows measured against the same r5 campaign teacher/store "
@@ -63,6 +74,7 @@ def main():
         "teacher": teacher,
         "students": students,
         "served_vs_teacher_bf16": served,
+        **legacy,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
